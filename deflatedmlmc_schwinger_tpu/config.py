@@ -1,0 +1,116 @@
+"""Typed configuration for the trace estimators and the multigrid solver.
+
+Mirrors the full parameter surface of the reference's ``set_params`` /
+``trace_params_from_params`` (reference: gateway.py:63-169, utils.py:73-125),
+plus TPU-specific knobs (dtype, probe batch size, mesh axes, Krylov sizes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+
+def default_complex_dtype():
+    """complex128 when x64 is enabled (CPU validation), else complex64 (TPU)."""
+    return jnp.complex128 if jnp.zeros((), jnp.float64).dtype == jnp.float64 else jnp.complex64
+
+
+@dataclasses.dataclass
+class SolverConfig:
+    """Knobs for the multigrid-preconditioned FGMRES solver.
+
+    The reference solves with pyamg fgmres (maxiter<=1000) preconditioned by a
+    V-cycle whose smoother is a 2-iteration scipy ``lgmres``
+    (reference: multigrid.py:347-447). Here the smoother is a fixed
+    ``smooth_iters``-step GMRES (jitted, batched) and FGMRES uses fixed-size
+    Krylov buffers of length ``restart`` with at most ``max_restarts`` cycles.
+    """
+
+    restart: int = 20
+    max_restarts: int = 10
+    smooth_iters: int = 2
+    # Residual tolerance floor; requested tolerances are clipped to
+    # max(tol, tol_floor(dtype)). complex64 cannot certify 1e-12 residuals.
+    tol_floor_c64: float = 3.0e-7
+    tol_floor_c128: float = 1.0e-13
+
+    def tol_floor(self, dtype) -> float:
+        return self.tol_floor_c128 if jnp.dtype(dtype) == jnp.complex128 else self.tol_floor_c64
+
+    def effective_tol(self, tol: float, dtype) -> float:
+        return max(float(tol), self.tol_floor(dtype))
+
+
+@dataclasses.dataclass
+class TraceConfig:
+    """Full configuration of one trace-estimation experiment.
+
+    Field-for-field parity with the reference's params dict
+    (gateway.py:63-169); TPU additions at the bottom.
+    """
+
+    # ---- problem / matrix (reference: matrix.py:14-31) ----
+    matrix: str = "schwinger128.mat"
+    problem_name: str = "schwinger"
+    mass: float = -0.1320
+    latt_dims: Tuple[int, int] = (128, 128)  # (nt, nx)
+
+    # ---- trace estimation ----
+    trace_tol: float = 1.0e-2           # relative stopping tolerance
+    function_tol: float = 1.0e-12       # linear-solve tolerance (clipped per dtype)
+    max_nr_ests: int = 100000           # utils.py:81,108
+    min_nr_ests: int = 6                # stop rule needs i>=5 (stoch_trace.py:153)
+    nr_rough_iters: int = 5             # stoch_trace.py:104
+    rough_seed: int = 123456            # stoch_trace.py:103
+    seed: int = 51234                   # gateway.py:67,106 (probe stream)
+
+    # ---- multigrid hierarchy (reference: multigrid.py:100-344) ----
+    max_nr_levels: int = 4
+    aggrs: Sequence[int] = (4 * 4, 2 * 2, 2 * 2)
+    dof: Sequence[int] = (2, 8, 8, 8)
+    accuracy_mg_eigvs: str = "high"     # 'low' -> 1e-3 | 'high' -> 1e-9
+    test_vectors_type: str = "EVs"      # {'EVs','LSVs','RSVs'}
+    check_quality_MG: bool = False
+    coarsest_level_directly: bool = True
+
+    # ---- deflation ----
+    nr_deflat_vctrs: int = 8            # Hutchinson deflation basis size
+    mlmc_deflat_vctrs: Sequence[int] = (0, 0, 0)
+    defl_type: str = "exact"            # {'exact','inexact_01','inexact_03'}
+    defl_eigvs_tol_Hutch: float = 1.0e-9
+    defl_eigvs_tol_MLMC: float = 1.0e-1
+    diff_lev_op_tol: float = 1.0e-3
+
+    # ---- MLMC ----
+    mlmc_levels_to_skip: Sequence[int] = (1,)
+
+    # ---- displaced trace tr(D^-1 Pi) (reference: multigrid.py:141-155) ----
+    use_permuted: bool = True
+    x_displacement: int = 2
+
+    # ---- TPU-native knobs ----
+    probe_batch: int = 8                # probes per device per batch
+    dtype: Optional[object] = None      # complex dtype; None -> per-x64 default
+    solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    # eigensolver effort for setup (Chebyshev-filtered subspace iteration)
+    chebyshev_degree: int = 100
+    subspace_iters: int = 8
+    # mesh axis name for sample data-parallelism
+    sample_axis: str = "samples"
+
+    def complex_dtype(self):
+        return self.dtype if self.dtype is not None else default_complex_dtype()
+
+    @property
+    def nt(self) -> int:
+        return int(self.latt_dims[0])
+
+    @property
+    def nx(self) -> int:
+        return int(self.latt_dims[1])
+
+    def replace(self, **kw) -> "TraceConfig":
+        return dataclasses.replace(self, **kw)

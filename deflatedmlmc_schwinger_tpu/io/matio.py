@@ -1,0 +1,74 @@
+"""Matrix ingestion: .mat file -> StencilOperator on device.
+
+Behavioral parity with the reference loader (matrix.py:14-31):
+  * reads key 'S' from the MATLAB file,
+  * for schwinger16.mat the stored S is first multiplied by gamma_3 (the lower
+    half of the rows is negated, reference: matrix.py:25-27),
+  * the bare mass is added on the diagonal: D = S + m*I.
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+from typing import Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+from deflatedmlmc_schwinger_tpu.io.stencil import stencil_from_csr
+from deflatedmlmc_schwinger_tpu.ops.dirac import StencilOperator
+
+_REFERENCE_DIR = "/root/reference"
+
+
+def _resolve(matrix_name: str) -> str:
+    if os.path.exists(matrix_name):
+        return matrix_name
+    cand = os.path.join(_REFERENCE_DIR, matrix_name)
+    if os.path.exists(cand):
+        return cand
+    raise FileNotFoundError(matrix_name)
+
+
+def load_matrix(matrix_name: str, mass: float) -> sp.csr_matrix:
+    """Load D = (gamma3-fixed) S + m*I as a host CSR matrix (the test oracle)."""
+    import scipy.io as sio
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        contents = sio.loadmat(_resolve(matrix_name))
+    A = sp.csr_matrix(contents["S"])
+    if os.path.basename(matrix_name) == "schwinger16.mat":
+        half = A.shape[0] // 2
+        A = sp.vstack([A[:half, :], -A[half:, :]]).tocsr()
+    A = (A + mass * sp.identity(A.shape[0], dtype=A.dtype)).tocsr()
+    return A
+
+
+def infer_latt_dims(n: int) -> Tuple[int, int]:
+    """Square-lattice dims from the matrix size (n = 2*L*L)."""
+    L = int(round((n / 2) ** 0.5))
+    if 2 * L * L != n:
+        raise ValueError(f"cannot infer square lattice dims from n={n}")
+    return (L, L)
+
+
+def load_operator(
+    matrix_name: str,
+    mass: float,
+    latt_dims: Optional[Tuple[int, int]] = None,
+    dtype=None,
+) -> Tuple[StencilOperator, sp.csr_matrix]:
+    """Load the Dirac operator as a device StencilOperator (+ the CSR oracle)."""
+    A = load_matrix(matrix_name, mass)
+    if latt_dims is None:
+        latt_dims = infer_latt_dims(A.shape[0])
+    nt, nx = int(latt_dims[0]), int(latt_dims[1])
+    C = stencil_from_csr(A, nt=nt, nx=nx)
+    if dtype is not None:
+        C = C.astype(np.dtype(dtype))
+    op = StencilOperator(coeffs=jnp.asarray(C), nx=nx, nt=nt)
+    return op, A
