@@ -31,7 +31,10 @@ class SolverConfig:
 
     restart: int = 20
     max_restarts: int = 10
-    smooth_iters: int = 2
+    # measured on 16^2/128^2: 4 smoothing steps halve the outer FGMRES
+    # iteration count vs the reference's nominal 2, for the same total
+    # fine-level matvec work but half the V-cycle/coarse-solve overhead
+    smooth_iters: int = 4
     # Residual tolerance floor; requested tolerances are clipped to
     # max(tol, tol_floor(dtype)). complex64 cannot certify 1e-12 residuals.
     tol_floor_c64: float = 3.0e-7

@@ -1,0 +1,113 @@
+"""Multigrid hierarchy + solver tests (survey section 4 oracles: P/R
+adjointness, Galerkin identity ||A_c - R A P||, ||RP - I||, V-cycle
+contraction, retargeted solves)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from deflatedmlmc_schwinger_tpu.config import SolverConfig, TraceConfig
+from deflatedmlmc_schwinger_tpu.mg import MGSolver, check_quality, setup_hierarchy
+
+MASS16 = -1.00690114 * 0.99
+
+
+def make_cfg(**kw):
+    base = dict(
+        matrix="schwinger16.mat",
+        mass=MASS16,
+        latt_dims=(16, 16),
+        max_nr_levels=3,
+        aggrs=(4, 4),
+        dof=(2, 4, 4),
+        accuracy_mg_eigvs="low",
+        test_vectors_type="RSVs",
+        use_permuted=False,
+        chebyshev_degree=50,
+        subspace_iters=4,
+    )
+    base.update(kw)
+    return TraceConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def hier16(op16):
+    op, _ = op16
+    return setup_hierarchy(op, make_cfg())
+
+
+def test_hierarchy_sizes(hier16):
+    assert hier16.sizes() == (512, 256, 64)
+
+
+def test_quality_invariants(hier16):
+    q = check_quality(hier16)
+    assert q["orthonormality of P at level 0"] < 1e-12
+    assert q["orthonormality of P at level 1"] < 1e-12
+    assert q["g3-compatibility at level 0"] == 0.0
+    assert q["hermiticity of g3*A at level 1"] < 1e-12
+    assert q["hermiticity of g3*A at level 2"] < 1e-12
+
+
+def test_galerkin_identity(hier16, op16, dense16):
+    P0 = np.asarray(hier16.levels[0].P.to_dense())
+    C1 = P0.conj().T @ dense16 @ P0
+    assert np.abs(C1 - np.asarray(hier16.levels[1].op.mat)).max() < 1e-12
+    P1 = np.asarray(hier16.levels[1].P.to_dense())
+    C2 = P1.conj().T @ C1 @ P1
+    assert np.abs(C2 - np.asarray(hier16.levels[2].op.mat)).max() < 1e-12
+
+
+def test_P_R_adjointness(hier16):
+    rng = np.random.default_rng(0)
+    P = hier16.levels[0].P
+    x = jnp.asarray(rng.standard_normal((2, P.n_fine)) + 1j * rng.standard_normal((2, P.n_fine)))
+    y = jnp.asarray(rng.standard_normal((2, P.n_coarse)) + 1j * rng.standard_normal((2, P.n_coarse)))
+    # <x, P y> == <R x, y>
+    lhs = np.vdot(np.asarray(x), np.asarray(P.apply(y)))
+    rhs = np.vdot(np.asarray(P.apply_adjoint(x)), np.asarray(y))
+    assert abs(lhs - rhs) < 1e-10
+
+
+def test_coarsest_inverse(hier16):
+    Ac = np.asarray(hier16.levels[-1].op.mat)
+    inv = np.asarray(hier16.coarsest_inv)
+    assert np.abs(Ac @ inv - np.eye(Ac.shape[0])).max() < 1e-10
+
+
+def test_mg_preconditioned_solve(hier16, op16):
+    op, A = op16
+    rng = np.random.default_rng(1)
+    b = rng.standard_normal((3, op.n)) + 1j * rng.standard_normal((3, op.n))
+    solver = MGSolver(hier16, SolverConfig(restart=25, max_restarts=10, smooth_iters=4))
+    res = solver.solve(jnp.asarray(b), tol=1e-10)
+    x = np.asarray(res.x)
+    relres = np.linalg.norm(b.T - A @ x.T, axis=0) / np.linalg.norm(b, axis=1)
+    assert (relres < 1e-9).all()
+    # the preconditioner must beat plain FGMRES by a wide margin
+    assert int(np.max(np.asarray(res.iters))) < 60
+
+
+def test_solve_from_coarse_level(hier16):
+    rng = np.random.default_rng(2)
+    n1 = hier16.levels[1].n
+    b = jnp.asarray(rng.standard_normal((2, n1)) + 1j * rng.standard_normal((2, n1)))
+    solver = MGSolver(hier16)
+    res = solver.solve(b, tol=1e-10, level=1)
+    x = np.asarray(res.x)
+    A1 = np.asarray(hier16.levels[1].op.mat)
+    relres = np.linalg.norm(np.asarray(b) - x @ A1.T, axis=1) / np.linalg.norm(np.asarray(b), axis=1)
+    assert (relres < 1e-9).all()
+
+
+def test_vcycle_contracts(hier16, op16):
+    """One V-cycle must reduce the residual of a random system."""
+    op, _ = op16
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.standard_normal((2, op.n)) + 1j * rng.standard_normal((2, op.n)))
+    solver = MGSolver(hier16)
+    vc = solver.precond(0)
+    x = vc(b)
+    r = np.asarray(b - op.matvec(x))
+    ratio = np.linalg.norm(r, axis=1) / np.linalg.norm(np.asarray(b), axis=1)
+    assert (ratio < 0.7).all(), ratio
