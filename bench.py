@@ -1,0 +1,109 @@
+"""Benchmark: batched deflated-Hutchinson probe solves on the 128^2 Schwinger
+lattice, single chip.
+
+Headline metric (BASELINE.md): the reference does one fine-level
+MG-preconditioned probe solve in ~10.4 s on one CPU core (0.096
+probe-solves/sec/core, G202 rough-trace measurement). Here a whole probe
+batch is solved in one batched MG-FGMRES call on the TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/0.096}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_SOLVES_PER_SEC = 0.096  # BASELINE.md, measured on the reference
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from deflatedmlmc_schwinger_tpu.config import TraceConfig
+    from deflatedmlmc_schwinger_tpu.io import load_operator
+    from deflatedmlmc_schwinger_tpu.mg import MGSolver, setup_hierarchy
+    from deflatedmlmc_schwinger_tpu.ops.dirac import shift_rows_down
+    from deflatedmlmc_schwinger_tpu.solvers.fgmres import fgmres
+    from deflatedmlmc_schwinger_tpu.trace.probes import make_probe_source
+
+    cfg = TraceConfig(
+        matrix="schwinger128.mat",
+        mass=-0.1320,
+        latt_dims=(128, 128),
+        max_nr_levels=4,
+        aggrs=(4 * 4, 2 * 2, 2 * 2),
+        dof=(2, 8, 8, 8),
+        accuracy_mg_eigvs="low",
+        test_vectors_type="RSVs",
+        use_permuted=True,
+        x_displacement=2,
+        chebyshev_degree=60,
+        subspace_iters=4,
+        dtype=jnp.complex64,
+    )
+    t0 = time.time()
+    op, _ = load_operator(cfg.matrix, cfg.mass, latt_dims=cfg.latt_dims,
+                          dtype=jnp.complex64)
+    hier = setup_hierarchy(op, cfg)
+    solver = MGSolver(hier, cfg.solver)
+    mv = solver.matvec(0)
+    pc = solver.precond(0)
+    setup_s = time.time() - t0
+    print(f"# setup: {setup_s:.1f}s  sizes={hier.sizes()}", file=sys.stderr)
+
+    B = 16
+    tol = 1e-6  # certifiable floor for complex64; trace tol needs only 1e-2
+    probes = make_probe_source("jax", 7)
+    d = hier.levels[0].perm_shift
+
+    def one_batch(start):
+        X = probes(start, B, op.n, jnp.complex64)
+        Xd = shift_rows_down(X, d)
+        res = fgmres(mv, Xd, tol=tol, restart=20, max_restarts=10, precond=pc)
+        return res
+
+    # warmup/compile
+    t0 = time.time()
+    res = one_batch(0)
+    jax.block_until_ready(res.x)
+    compile_s = time.time() - t0
+    relres = np.asarray(res.resnorm / res.bnorm)
+    iters = np.asarray(res.iters)
+    print(
+        f"# warmup(+compile): {compile_s:.1f}s  iters={iters.min()}..{iters.max()} "
+        f"relres_max={relres.max():.2e}",
+        file=sys.stderr,
+    )
+
+    reps = 4
+    t0 = time.time()
+    for r in range(1, reps + 1):
+        res = one_batch(r * B)
+    jax.block_until_ready(res.x)
+    dt = time.time() - t0
+    solves_per_sec = reps * B / dt
+    print(
+        f"# {reps} batches x {B} probes in {dt:.2f}s -> "
+        f"{solves_per_sec:.2f} solves/s",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            dict(
+                metric="probe_solves_per_sec_per_chip_schwinger128",
+                value=round(solves_per_sec, 3),
+                unit="probe-solves/s",
+                vs_baseline=round(solves_per_sec / BASELINE_SOLVES_PER_SEC, 1),
+            )
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

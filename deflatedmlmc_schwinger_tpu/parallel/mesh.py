@@ -1,0 +1,52 @@
+"""Device mesh + sharding helpers (SURVEY.md section 2.3).
+
+The primary parallel axis is 'samples' (probe data-parallelism, P1): probe
+batches shard over it and every solve in the batched Krylov stack is
+independent along the batch dimension, so GSPMD partitions the whole
+estimator step with no code changes -- the only cross-sample communication
+XLA inserts is the tiny all-reduce for the convergence predicates and, at the
+end, the moment reduction.
+
+The secondary axis is 'x' (lattice domain decomposition, P3): grid-form
+fields (..., 2, X, T) shard along X; the stencil's jnp.roll becomes an ICI
+halo exchange (collective-permute) inserted by XLA.
+
+Probes are counter-based (trace/probes.py), so estimates are bit-identical
+across mesh shapes -- the mesh-invariance tests rely on this.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    shape: Optional[Tuple[int, ...]] = None,
+    axis_names: Sequence[str] = ("samples",),
+    devices=None,
+) -> Mesh:
+    """Create a device mesh; defaults to all devices on one 'samples' axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    n = int(np.prod(shape))
+    if n > len(devices):
+        raise ValueError(f"mesh shape {shape} needs {n} devices, have {len(devices)}")
+    arr = np.array(devices[:n]).reshape(shape)
+    return Mesh(arr, axis_names=tuple(axis_names))
+
+
+def shard_batch(x, mesh: Mesh, axis: str = "samples"):
+    """Place a (B, ...) array with its leading dim sharded over ``axis``."""
+    spec = P(axis, *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (hierarchy, deflation basis) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), tree)

@@ -1,0 +1,147 @@
+"""Deflated Hutchinson trace estimator (reference: stoch_trace.py:33-179).
+
+Pipeline parity:
+  MG setup -> deflation precompute -> 5-probe rough trace -> main probe loop
+  with the stderr-based stopping rule -> result dict with the analytic
+  complexity model.
+
+TPU-native changes:
+  * probes are sampled in batches of ``cfg.probe_batch`` and solved as one
+    batched MG-FGMRES call (the reference runs one 10-second solve per probe
+    on one core; here the whole batch shares every V-cycle);
+  * probes come from counter-based keys (order/batch/shard independent) or,
+    for matched-seed validation, from the reference's exact NumPy stream
+    (trace/probes.py);
+  * the stopping rule is evaluated after each batch on merged running
+    moments, preserving the reference's statistical contract (stderr <
+    tol * |rough_trace|, n >= 6) at worst one batch of oversampling.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from deflatedmlmc_schwinger_tpu.config import TraceConfig
+from deflatedmlmc_schwinger_tpu.mg.cycle import MGSolver
+from deflatedmlmc_schwinger_tpu.mg.setup import setup_hierarchy
+from deflatedmlmc_schwinger_tpu.ops.dirac import StencilOperator, shift_rows_down
+from deflatedmlmc_schwinger_tpu.trace.deflation import Deflation, deflate, hutchinson_deflation
+from deflatedmlmc_schwinger_tpu.trace.probes import make_probe_source
+from deflatedmlmc_schwinger_tpu.trace.stats import RunningMoments, should_stop
+from deflatedmlmc_schwinger_tpu.utils.flops import flops_vcycle, level_nnz
+from deflatedmlmc_schwinger_tpu.utils.timer import PhaseTimer
+
+
+def hutchinson_step_batch(
+    op,
+    solver: MGSolver,
+    cfg: TraceConfig,
+    defl: Deflation,
+    probes: jnp.ndarray,
+):
+    """One batch of deflated Hutchinson estimates (reference:
+    utils.py:210-250). Returns (estimates (B,), per-row iteration counts)."""
+    x = probes
+    x_def = deflate(x, defl.U)
+    d = solver.hier.levels[0].perm_shift
+    if cfg.use_permuted and d:
+        x_def = shift_rows_down(x_def, d)
+    res = solver.solve(x_def, cfg.function_tol)
+    e = jnp.sum(jnp.conj(x) * res.x, axis=-1)
+    return e, res.iters
+
+
+def hutchinson(
+    op: StencilOperator,
+    cfg: TraceConfig,
+    *,
+    hier=None,
+    solver: Optional[MGSolver] = None,
+    probe_source: str = "jax",
+    timer: Optional[PhaseTimer] = None,
+    verbose: bool = True,
+    mesh=None,
+) -> Dict:
+    """Compute tr(A^{-1}) (or tr(A^{-1} Pi)) by deflated Hutchinson.
+
+    If ``mesh`` is given, each probe batch is sharded over its 'samples' axis
+    (probe data-parallelism, SURVEY.md P1) -- results are bit-identical to the
+    unsharded run thanks to counter-based probe keys."""
+    timer = timer or PhaseTimer()
+    log = print if verbose else (lambda *a, **k: None)
+
+    # ---- MG setup (stoch_trace.py:50-75) ----
+    if solver is None:
+        with timer.phase("mg_setup"):
+            if hier is None:
+                hier = setup_hierarchy(op, cfg)
+            solver = MGSolver(hier, cfg.solver)
+    else:
+        hier = solver.hier
+    if hier.nr_levels < 3:
+        raise Exception("Use three or more levels.")
+    log(f"MG hierarchy sizes: {hier.sizes()}")
+
+    # ---- deflation precompute (stoch_trace.py:79-95) ----
+    with timer.phase("defl_setup"):
+        defl = hutchinson_deflation(op, solver, cfg)
+    if defl.values is not None:
+        log(f"deflation |eigs|: {np.abs(defl.values)}  tr1={defl.tr1:.6f}")
+
+    # ---- rough trace (stoch_trace.py:101-118) ----
+    rough_probes = make_probe_source(probe_source, cfg.rough_seed)
+    n = op.n
+    dtype = op.dtype
+    with timer.phase("rough_trace"):
+        X = rough_probes(0, cfg.nr_rough_iters, n, dtype)
+        es, _ = hutchinson_step_batch(op, solver, cfg, defl, X)
+        rough_trace = complex(jnp.mean(es)) + defl.tr1
+    rough_trace_tol = abs(cfg.trace_tol * rough_trace)
+    log(f"rough trace: {rough_trace:.6f}  target stderr: {rough_trace_tol:.3e}")
+
+    # ---- main loop (stoch_trace.py:131-154) ----
+    probes = make_probe_source(probe_source, cfg.seed)
+    moments = RunningMoments()
+    function_iters = 0
+    solver.coarsest_lev_iters[0] = 0
+    B = int(cfg.probe_batch)
+    if mesh is not None:
+        from deflatedmlmc_schwinger_tpu.parallel import shard_batch
+
+        nshards = mesh.shape[cfg.sample_axis]
+        if B % nshards:
+            raise ValueError(f"probe_batch {B} not divisible by mesh axis {nshards}")
+    with timer.phase("sampling"):
+        start = 0
+        while start < cfg.max_nr_ests:
+            X = probes(start, B, n, dtype)
+            if mesh is not None:
+                X = shard_batch(X, mesh, cfg.sample_axis)
+            es, iters = hutchinson_step_batch(op, solver, cfg, defl, X)
+            moments.update_batch(np.asarray(es))
+            function_iters += int(np.sum(np.asarray(iters)))
+            start += B
+            if should_stop(moments, rough_trace_tol, cfg.min_nr_ests):
+                break
+
+    # ---- results (stoch_trace.py:165-176) ----
+    nnz = level_nnz(hier)
+    result = dict(
+        trace=moments.mean + defl.tr1,
+        std_dev=moments.std_dev,
+        nr_ests=moments.count,
+        function_iters=function_iters,
+        rough_trace=rough_trace,
+    )
+    total = flops_vcycle(nnz, solver.cfg.smooth_iters, 0, 0) * function_iters
+    total += nnz[-1] * solver.coarsest_lev_iters[0]
+    k = int(cfg.nr_deflat_vctrs)
+    # reference's deflation-work fudge (stoch_trace.py:174-175)
+    total += moments.count * (2.0 * n * k) / 3.0
+    result["total_complexity"] = total
+    result["timer"] = timer
+    return result

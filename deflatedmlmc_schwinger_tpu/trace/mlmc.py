@@ -1,0 +1,282 @@
+"""Deflated multigrid multilevel Monte Carlo trace estimator
+(reference: stoch_trace.py:185-471).
+
+Telescoping sum over the MG hierarchy:
+  tr(A_0^{-1}) = sum_l tr(A_l^{-1} - P_l A_{l+1}^{-1} R_l) + tr(A_coarsest^{-1}),
+each difference level estimated stochastically with its own share of the
+tolerance budget and optional deflation; the coarsest level is computed
+exactly from the precomputed dense inverse. Optional level skipping collapses
+levels 1 and 2 into one composite difference (only "skip level 1", as in the
+reference, stoch_trace.py:199-206).
+
+Displaced-trace variant: probes are pushed through Pi_l^T and the accumulated
+B-block operator (reference: utils.py:288-290, multigrid.py:318-331); the
+coarsest term becomes tr(Pi_c^T A_c^{-1} B_c) (stoch_trace.py:431-435).
+"""
+
+from __future__ import annotations
+
+from math import sqrt
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from deflatedmlmc_schwinger_tpu.config import TraceConfig
+from deflatedmlmc_schwinger_tpu.mg.cycle import MGSolver
+from deflatedmlmc_schwinger_tpu.mg.diff_op import level_structure
+from deflatedmlmc_schwinger_tpu.mg.hierarchy import Hierarchy
+from deflatedmlmc_schwinger_tpu.mg.setup import setup_hierarchy
+from deflatedmlmc_schwinger_tpu.ops.dirac import (
+    StencilOperator,
+    shift_rows_down,
+    shift_rows_up,
+)
+from deflatedmlmc_schwinger_tpu.trace.deflation import (
+    Deflation,
+    deflate,
+    hutchinson_deflation,
+    mlmc_level_deflation,
+)
+from deflatedmlmc_schwinger_tpu.trace.hutchinson import hutchinson_step_batch
+from deflatedmlmc_schwinger_tpu.trace.probes import make_probe_source
+from deflatedmlmc_schwinger_tpu.trace.stats import RunningMoments, should_stop
+from deflatedmlmc_schwinger_tpu.utils.flops import flops_vcycle, level_nnz
+from deflatedmlmc_schwinger_tpu.utils.timer import PhaseTimer
+
+
+def bblock_apply(hier: Hierarchy, level: int, v: jnp.ndarray) -> jnp.ndarray:
+    """Apply the accumulated B-block operator B_l (lazy composition; the
+    reference materializes sparse matrices, multigrid.py:328-331):
+    B_0 = I;  B_l = R_{l-1} B_{l-1} Pi_{l-1}^H P_{l-1} Pi_l."""
+    if level == 0:
+        return v
+    w = shift_rows_up(v, hier.levels[level].perm_shift)
+    w = hier.levels[level - 1].P.apply(w)
+    w = shift_rows_down(w, hier.levels[level - 1].perm_shift)
+    w = bblock_apply(hier, level - 1, w)
+    return hier.levels[level - 1].P.apply_adjoint(w)
+
+
+def bblock_matrix(hier: Hierarchy, level: int) -> jnp.ndarray:
+    """Materialize B_l as a dense (n_l, n_l) matrix (coarsest level only)."""
+    n = hier.levels[level].n
+    eye = jnp.eye(n, dtype=hier.levels[level].op.dtype)
+    rows = bblock_apply(hier, level, eye)  # row j = B e_j
+    return rows.T
+
+
+def mlmc_step_batch(
+    solver: MGSolver,
+    cfg: TraceConfig,
+    level: int,
+    defl: Deflation,
+    probes: jnp.ndarray,
+    skip_level: bool,
+):
+    """One batch of difference-level estimates (reference: utils.py:252-357).
+    Returns (estimates (B,), fine iters (B,), coarse iters (B,), coarse_level)."""
+    hier = solver.hier
+    fine, coarse, restrict, prolong = level_structure(solver, level, skip_level)
+    coarsest = hier.nr_levels - 1
+    x0 = probes
+
+    if defl.U is not None and cfg.defl_type == "inexact_03":
+        # oblique projector x - V (U^H A V)^{-1} U^H A x (utils.py:269-276)
+        V, Uref = defl.U, defl.aux_V
+        Af = lambda v: solver.matvec(level)(v)
+        AV = Af(V.T).T
+        Bl = jnp.linalg.inv(Uref.conj().T @ AV)
+        t = Af(x0) @ jnp.conj(Uref)
+        x_def = x0 - (t @ Bl.T) @ V.T
+    else:
+        x_def = deflate(x0, defl.U)
+
+    d = hier.levels[level].perm_shift
+    if cfg.use_permuted:
+        x_def = shift_rows_down(x_def, d)
+        x_def = bblock_apply(hier, level, x_def)
+
+    res_f = solver.solve(x_def, cfg.function_tol, level=fine)
+    e1 = jnp.sum(jnp.conj(x0) * res_f.x, axis=-1)
+
+    xc = restrict(x_def)
+    if coarse == coarsest:
+        y = solver.coarsest_solve(xc)
+        iters2 = jnp.ones(x0.shape[0], jnp.int32)
+    else:
+        res_c = solver.solve(xc, cfg.function_tol, level=coarse)
+        y = res_c.x
+        iters2 = res_c.iters
+    w = prolong(y)
+    e2 = jnp.sum(jnp.conj(x0) * w, axis=-1)
+    return e1 - e2, res_f.iters, iters2, coarse
+
+
+def _tolerance_fractions(nr_levels: int, skip_level: bool):
+    """Per-level variance-budget split (reference: stoch_trace.py:327-336)."""
+    if nr_levels < 3:
+        raise Exception("Number of levels restricted to >2 for now ...")
+    if nr_levels == 3:
+        f0, f1 = 0.8, 0.2
+    else:
+        f0, f1 = 0.45, 0.45
+    if skip_level:
+        f0 = f0 + f1
+    return f0, f1
+
+
+def _level_tol_factor(i: int, nr_levels: int, f0: float, f1: float, skip_level: bool):
+    """tol_fctr per level (reference: stoch_trace.py:356-362)."""
+    if i == 0:
+        return sqrt(f0)
+    if i == 1:
+        return sqrt(f1)
+    if skip_level:
+        return sqrt(1.0 - f0) / sqrt(nr_levels - 3)
+    return sqrt(1.0 - f0 - f1) / sqrt(nr_levels - 3)
+
+
+def mlmc(
+    op: StencilOperator,
+    cfg: TraceConfig,
+    *,
+    hier: Optional[Hierarchy] = None,
+    solver: Optional[MGSolver] = None,
+    probe_source: str = "jax",
+    timer: Optional[PhaseTimer] = None,
+    verbose: bool = True,
+    mesh=None,
+) -> Dict:
+    """Compute tr(A^{-1}) (or tr(A^{-1} Pi)) by deflated MG-MLMC."""
+    timer = timer or PhaseTimer()
+    log = print if verbose else (lambda *a, **k: None)
+
+    # ---- skip-level validation (stoch_trace.py:199-206) ----
+    skips = list(cfg.mlmc_levels_to_skip)
+    if len(skips) > 1:
+        raise Exception("Only allowed to skip one level for now")
+    skip_level = len(skips) == 1
+    if skip_level and skips[0] != 1:
+        raise Exception("Only allowed to skip the second level for now")
+
+    # ---- MG setup ----
+    if solver is None:
+        with timer.phase("mg_setup"):
+            if hier is None:
+                hier = setup_hierarchy(op, cfg)
+            solver = MGSolver(hier, cfg.solver)
+    else:
+        hier = solver.hier
+    nr_levels = hier.nr_levels
+    if nr_levels < 3:
+        raise Exception("Use three or more levels.")
+    log(f"MG hierarchy sizes: {hier.sizes()}")
+
+    # ---- per-level deflation (stoch_trace.py:246-274) ----
+    defls: List[Deflation] = []
+    with timer.phase("defl_setup"):
+        for i in range(nr_levels - 1):
+            if skip_level and i == 1:
+                defls.append(Deflation(U=None, tr1=0.0 + 0.0j))
+                continue
+            k = int(cfg.mlmc_deflat_vctrs[i]) if i < len(cfg.mlmc_deflat_vctrs) else 0
+            defls.append(mlmc_level_deflation(solver, i, k, cfg, skip_level))
+
+    # ---- rough trace (stoch_trace.py:281-302) ----
+    with timer.phase("rough_trace"):
+        rough_defl = hutchinson_deflation(op, solver, cfg)
+        rough_probes = make_probe_source(probe_source, cfg.rough_seed)
+        X = rough_probes(0, cfg.nr_rough_iters, op.n, op.dtype)
+        es, _ = hutchinson_step_batch(op, solver, cfg, rough_defl, X)
+        rough_trace = complex(jnp.mean(es)) + rough_defl.tr1
+    log(f"rough trace: {rough_trace:.6f}")
+
+    # ---- output skeleton (stoch_trace.py:308-321) ----
+    results = [
+        dict(function_iters=0, nr_ests=0, ests_avg=0.0 + 0.0j, ests_dev=0.0,
+             level_complexity=0.0)
+        for _ in range(nr_levels)
+    ]
+
+    f0, f1 = _tolerance_fractions(nr_levels, skip_level)
+    for i in range(nr_levels):
+        solver.coarsest_lev_iters[i] = 0
+
+    # ---- difference-level sampling loops (stoch_trace.py:348-416) ----
+    B = int(cfg.probe_batch)
+    if mesh is not None:
+        from deflatedmlmc_schwinger_tpu.parallel import shard_batch
+    with timer.phase("sampling"):
+        for i in range(nr_levels - 1):
+            if skip_level and i == 1:
+                continue
+            tol_fctr = _level_tol_factor(i, nr_levels, f0, f1, skip_level)
+            level_trace_tol = abs(cfg.trace_tol * rough_trace * tol_fctr)
+            probes = make_probe_source(probe_source, cfg.seed + i)
+            moments = RunningMoments()
+            n_i = hier.levels[i].n
+            start = 0
+            while start < cfg.max_nr_ests:
+                X = probes(start, B, n_i, hier.levels[i].op.dtype)
+                if mesh is not None:
+                    X = shard_batch(X, mesh, cfg.sample_axis)
+                es, it1, it2, coarse = mlmc_step_batch(
+                    solver, cfg, i, defls[i], X, skip_level
+                )
+                moments.update_batch(np.asarray(es))
+                results[i]["function_iters"] += int(np.sum(np.asarray(it1)))
+                results[coarse]["function_iters"] += int(np.sum(np.asarray(it2)))
+                start += B
+                if should_stop(moments, level_trace_tol, cfg.min_nr_ests):
+                    break
+            results[i]["nr_ests"] += moments.count
+            results[i]["ests_avg"] = moments.mean + defls[i].tr1
+            results[i]["ests_dev"] = moments.std_dev
+            log(
+                f"level {i}: {moments.count} ests, trace "
+                f"{results[i]['ests_avg']:.6f}, dev {moments.std_dev:.4f}"
+            )
+
+    # ---- exact coarsest trace (stoch_trace.py:418-437) ----
+    with timer.phase("coarsest"):
+        if hier.levels[-1].n == 1:
+            raise Exception(
+                "your coarsest-level matrix is of size 1 ... is this what you want?"
+            )
+        if not cfg.coarsest_level_directly:
+            raise Exception(
+                "Stochastic coarsest-level computation is disabled at the moment."
+            )
+        results[-1]["nr_ests"] += 1
+        M = hier.coarsest_inv
+        if cfg.use_permuted:
+            Bc = bblock_matrix(hier, nr_levels - 1)
+            M = M @ Bc
+            M = jnp.roll(M, hier.levels[-1].perm_shift, axis=0)  # Pi_c^T @ M
+        results[-1]["ests_avg"] = complex(jnp.trace(M))
+        results[-1]["ests_dev"] = 0.0
+    log(f"coarsest exact trace: {results[-1]['ests_avg']:.6f}")
+
+    # ---- complexity model + aggregation (stoch_trace.py:443-467) ----
+    nnz = level_nnz(hier)
+    for i in range(nr_levels - 1):
+        results[i]["level_complexity"] = results[i]["function_iters"] * flops_vcycle(
+            nnz, solver.cfg.smooth_iters, i, i
+        )
+        results[i]["level_complexity"] += nnz[-1] * solver.coarsest_lev_iters[i]
+    n_c = hier.levels[-1].n
+    results[-1]["level_complexity"] = float(n_c) ** 3 + results[-1][
+        "function_iters"
+    ] * float(n_c) ** 2
+
+    out = dict(
+        nr_levels=nr_levels,
+        results=results,
+        rough_trace=rough_trace,
+        std_dev=0.0,
+        trace=sum(r["ests_avg"] for r in results),
+        total_complexity=sum(r["level_complexity"] for r in results),
+        timer=timer,
+    )
+    return out

@@ -1,0 +1,133 @@
+"""Integration tests for the estimators against dense oracles
+(SURVEY.md section 4: schwinger16 Hutchinson vs exact dense trace;
+MLMC vs the dense telescoping identity; statistical agreement is sigma-aware).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from deflatedmlmc_schwinger_tpu.config import TraceConfig
+from deflatedmlmc_schwinger_tpu.mg import MGSolver, setup_hierarchy
+from deflatedmlmc_schwinger_tpu.trace import hutchinson, mlmc
+from deflatedmlmc_schwinger_tpu.trace.stats import RunningMoments, should_stop
+
+MASS16 = -1.00690114 * 0.99
+EXACT16 = 265.85810646578824  # dense inverse oracle (BASELINE.md)
+
+
+def cfg16(**kw):
+    base = dict(
+        matrix="schwinger16.mat",
+        mass=MASS16,
+        latt_dims=(16, 16),
+        max_nr_levels=3,
+        aggrs=(4, 4),
+        dof=(2, 4, 4),
+        accuracy_mg_eigvs="low",
+        test_vectors_type="RSVs",
+        use_permuted=False,
+        trace_tol=1e-2,
+        nr_deflat_vctrs=24,
+        mlmc_deflat_vctrs=(8, 8),
+        defl_type="exact",
+        chebyshev_degree=50,
+        subspace_iters=4,
+        probe_batch=8,
+        mlmc_levels_to_skip=(),
+    )
+    base.update(kw)
+    return TraceConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def setup16(op16):
+    op, A = op16
+    cfg = cfg16()
+    hier = setup_hierarchy(op, cfg)
+    return op, A, cfg, hier
+
+
+def test_running_moments_match_reference_formulas():
+    rng = np.random.default_rng(0)
+    es = rng.standard_normal(37) + 1j * rng.standard_normal(37)
+    m = RunningMoments()
+    for chunk in np.array_split(es, 5):
+        m.update_batch(chunk)
+    # reference formulas (stoch_trace.py:143-147)
+    avg = es.mean()
+    dev = np.sqrt(np.mean(np.abs(es - avg) ** 2))
+    assert abs(m.mean - avg) < 1e-12
+    assert abs(m.std_dev - dev) < 1e-12
+    assert abs(m.error_est - dev / np.sqrt(len(es))) < 1e-12
+    stderr = dev / np.sqrt(len(es))
+    assert should_stop(m, stderr / 2, 6) is False
+    assert should_stop(m, stderr * 2, 6) is True
+    assert should_stop(m, stderr * 2, 100) is False  # min-sample gate
+
+
+def test_hutchinson_16(setup16):
+    op, A, cfg, hier = setup16
+    r = hutchinson(op, cfg, hier=hier, verbose=False)
+    stderr = max(r["std_dev"] / np.sqrt(r["nr_ests"]), 1e-12)
+    err = abs(r["trace"] - EXACT16)
+    # 5-sigma statistical agreement with the exact dense trace
+    assert err < 5 * stderr + 1e-6, (r["trace"], stderr)
+    assert r["nr_ests"] >= cfg.min_nr_ests
+    assert r["function_iters"] > 0
+    assert r["total_complexity"] > 0
+
+
+def test_mlmc_16_totals(setup16):
+    op, A, cfg, hier = setup16
+    r = mlmc(op, cfg, hier=hier, verbose=False)
+    devs = [
+        res["ests_dev"] / max(np.sqrt(res["nr_ests"]), 1) for res in r["results"]
+    ]
+    stderr = max(np.sqrt(sum(d * d for d in devs)), 1e-12)
+    err = abs(r["trace"] - EXACT16)
+    assert err < 5 * stderr + 1e-6, (r["trace"], stderr)
+    # coarsest level is exact
+    assert r["results"][-1]["ests_dev"] == 0.0
+    assert r["results"][-1]["nr_ests"] == 1
+
+
+def test_mlmc_telescoping_identity_dense(setup16):
+    """The hierarchy's own telescoping sum reproduces the exact trace
+    (pure linear algebra, no sampling; survey section 4 oracle)."""
+    op, A, cfg, hier = setup16
+    Ad = np.asarray(A.todense())
+    A0inv = np.linalg.inv(Ad)
+    P0 = np.asarray(hier.levels[0].P.to_dense())
+    A1 = np.asarray(hier.levels[1].op.mat)
+    A1inv = np.linalg.inv(A1)
+    P1 = np.asarray(hier.levels[1].P.to_dense())
+    A2 = np.asarray(hier.levels[2].op.mat)
+    A2inv = np.linalg.inv(A2)
+    t0 = np.trace(A0inv - P0 @ A1inv @ P0.conj().T)
+    t1 = np.trace(A1inv - P1 @ A2inv @ P1.conj().T)
+    t2 = np.trace(A2inv)
+    total = t0 + t1 + t2
+    assert abs(total - np.trace(A0inv)) < 1e-9
+    assert abs(total - EXACT16) < 1e-6
+
+
+def test_mlmc_skip_level(setup16):
+    op, A, cfg, hier = setup16
+    cfg_skip = cfg.replace(mlmc_levels_to_skip=(1,), mlmc_deflat_vctrs=(8, 0))
+    r = mlmc(op, cfg_skip, hier=hier, verbose=False)
+    # level 1 must be skipped entirely
+    assert r["results"][1]["nr_ests"] == 0
+    devs = [
+        res["ests_dev"] / max(np.sqrt(res["nr_ests"]), 1) for res in r["results"]
+    ]
+    stderr = max(np.sqrt(sum(d * d for d in devs)), 1e-12)
+    assert abs(r["trace"] - EXACT16) < 5 * stderr + 1e-6
+
+
+def test_mlmc_rejects_bad_skip(setup16):
+    op, A, cfg, hier = setup16
+    with pytest.raises(Exception, match="skip"):
+        mlmc(op, cfg.replace(mlmc_levels_to_skip=(0,)), hier=hier, verbose=False)
+    with pytest.raises(Exception, match="skip"):
+        mlmc(op, cfg.replace(mlmc_levels_to_skip=(0, 1)), hier=hier, verbose=False)
