@@ -28,7 +28,7 @@ def main() -> None:
     from deflatedmlmc_schwinger_tpu.config import TraceConfig
     from deflatedmlmc_schwinger_tpu.io import load_operator
     from deflatedmlmc_schwinger_tpu.mg import MGSolver, setup_hierarchy
-    from deflatedmlmc_schwinger_tpu.ops.dirac import shift_rows_down
+    from deflatedmlmc_schwinger_tpu.ops.dirac import pair_operator, shift_rows_down_pair
     from deflatedmlmc_schwinger_tpu.solvers.fgmres import fgmres
     from deflatedmlmc_schwinger_tpu.trace.probes import make_probe_source
 
@@ -49,7 +49,8 @@ def main() -> None:
     )
     t0 = time.time()
     op, _ = load_operator(cfg.matrix, cfg.mass, latt_dims=cfg.latt_dims,
-                          dtype=jnp.complex64)
+                          dtype=np.complex64)
+    op = pair_operator(op)
     hier = setup_hierarchy(op, cfg)
     solver = MGSolver(hier, cfg.solver)
     mv = solver.matvec(0)
@@ -63,15 +64,15 @@ def main() -> None:
     d = hier.levels[0].perm_shift
 
     def one_batch(start):
-        X = probes(start, B, op.n, jnp.complex64)
-        Xd = shift_rows_down(X, d)
+        X = probes(start, B, op.n, jnp.float32)
+        Xd = shift_rows_down_pair(X, d)
         res = fgmres(mv, Xd, tol=tol, restart=20, max_restarts=10, precond=pc)
         return res
 
     # warmup/compile
     t0 = time.time()
     res = one_batch(0)
-    jax.block_until_ready(res.x)
+    jax.block_until_ready(res.x.re)
     compile_s = time.time() - t0
     relres = np.asarray(res.resnorm / res.bnorm)
     iters = np.asarray(res.iters)
@@ -85,7 +86,7 @@ def main() -> None:
     t0 = time.time()
     for r in range(1, reps + 1):
         res = one_batch(r * B)
-    jax.block_until_ready(res.x)
+    jax.block_until_ready(res.x.re)
     dt = time.time() - t0
     solves_per_sec = reps * B / dt
     print(

@@ -34,13 +34,28 @@ def _resolve(matrix_name: str) -> str:
 
 
 def load_matrix(matrix_name: str, mass: float) -> sp.csr_matrix:
-    """Load D = (gamma3-fixed) S + m*I as a host CSR matrix (the test oracle)."""
-    import scipy.io as sio
+    """Load D = (gamma3-fixed) S + m*I as a host CSR matrix.
 
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")
-        contents = sio.loadmat(_resolve(matrix_name))
-    A = sp.csr_matrix(contents["S"])
+    Prefers the native C++ MAT5 reader (native/matio.cpp, validated bit-exact
+    against scipy.io); set DMLMC_NATIVE_IO=0 or skip building the library to
+    fall back to scipy."""
+    path = _resolve(matrix_name)
+    A = None
+    if os.environ.get("DMLMC_NATIVE_IO", "1") != "0":
+        try:
+            from deflatedmlmc_schwinger_tpu.io import native
+
+            if native.available():
+                A = sp.csr_matrix(native.load_mat_sparse(path, "S"))
+        except Exception:
+            A = None
+    if A is None:
+        import scipy.io as sio
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            contents = sio.loadmat(path)
+        A = sp.csr_matrix(contents["S"])
     if os.path.basename(matrix_name) == "schwinger16.mat":
         half = A.shape[0] // 2
         A = sp.vstack([A[:half, :], -A[half:, :]]).tocsr()

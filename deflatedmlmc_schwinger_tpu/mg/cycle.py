@@ -1,75 +1,119 @@
-"""The V-cycle and the multigrid-preconditioned FGMRES solver.
+"""The V-cycle and the multigrid-preconditioned FGMRES solver (pair form).
 
 Reference semantics (multigrid.py:347-447):
   * ``MG.solve`` = flexible GMRES on the level operator, right-preconditioned
     by one V-cycle, maxiter = min(N, 1000);
-  * V-cycle: pre-smooth (2-iteration Krylov smoother from zero initial
-    guess), residual, restrict; dense precomputed inverse on the coarsest
-    level; prolongate-correct, residual, post-smooth;
+  * V-cycle: pre-smooth (Krylov smoother from zero initial guess), residual,
+    restrict; dense precomputed inverse on the coarsest level;
+    prolongate-correct, residual, post-smooth;
   * solves may start from ANY level (``level_nr`` retargeting) -- the MLMC
     estimator reuses the hierarchy as its level structure.
 
-TPU-native re-design: everything below is jitted and batched over probe
-vectors; the smoother is a fixed-iteration GMRES built on a static-size
-Arnoldi (lax.fori_loop, normal-equation least squares -- exact for the tiny
-smoothing subspaces used here); closures are cached per starting level so
-XLA compiles each (level, batch-shape) combination exactly once.
+TPU-native re-design: everything is jitted, batched over probe vectors, and
+runs on (re, im) pairs; the smoother is a fixed-iteration GMRES on a
+static-size Arnoldi whose tiny least-squares solve is an unrolled complex
+Cholesky in pair scalar arithmetic (loop-safe on every backend). Closures are
+cached per starting level so XLA compiles each (level, batch-shape)
+combination exactly once.
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Union
 
-import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from deflatedmlmc_schwinger_tpu.config import SolverConfig
 from deflatedmlmc_schwinger_tpu.mg.hierarchy import Hierarchy
+from deflatedmlmc_schwinger_tpu.ops import cplx
+from deflatedmlmc_schwinger_tpu.ops.cplx import CP
 from deflatedmlmc_schwinger_tpu.solvers.fgmres import FGMRESResult, fgmres
 
 
-def gmres_smoother(matvec: Callable, r: jnp.ndarray, iters: int) -> jnp.ndarray:
+def _solve_hpd_small(A: list, b: list, m: int):
+    """Solve the m x m Hermitian positive-definite system A y = b for a batch
+    of CP scalars (A[i][j], b[i] are (B,) pairs), by unrolled Cholesky.
+    m is the smoother depth (2-6), so the unrolled op count is trivial."""
+    L = [[None] * m for _ in range(m)]
+    d = [None] * m  # real diagonals
+    eps = 1e-30
+    for i in range(m):
+        for j in range(i):
+            s = A[i][j]
+            for k2 in range(j):
+                s = s - cplx.cmul(L[i][k2], L[j][k2].conj())
+            L[i][j] = CP(s.re / d[j], s.im / d[j])
+        acc = A[i][i].re
+        for k2 in range(i):
+            acc = acc - cplx.cabs2(L[i][k2])
+        d[i] = jnp.sqrt(jnp.maximum(acc, eps))
+        L[i][i] = None  # diagonal kept separately (real)
+    # forward: L z = b  (unit handling with real diag d)
+    z = [None] * m
+    for i in range(m):
+        s = b[i]
+        for k2 in range(i):
+            s = s - cplx.cmul(L[i][k2], z[k2])
+        z[i] = CP(s.re / d[i], s.im / d[i])
+    # backward: L^H y = z
+    y = [None] * m
+    for i in reversed(range(m)):
+        s = z[i]
+        for k2 in range(i + 1, m):
+            s = s - cplx.cmul(L[k2][i].conj(), y[k2])
+        y[i] = CP(s.re / d[i], s.im / d[i])
+    return y
+
+
+def gmres_smoother(matvec: Callable, r: CP, iters: int) -> CP:
     """k-step GMRES from a zero initial guess (the reference's
     ``lgmres(tol=1e-20, maxiter=smooth_iters)`` smoothing role,
-    multigrid.py:392-394). Static iteration count, batched over rows."""
-    B, n = r.shape
+    multigrid.py:392-394). Static iteration count, batched, pair-native."""
+    B, n = r.re.shape
     m = iters
-    cdtype = r.dtype
-    eps = jnp.finfo(r.real.dtype).tiny
-    beta = jnp.sqrt(jnp.sum(jnp.abs(r) ** 2, axis=-1))
-    V = jnp.zeros((m + 1, B, n), cdtype).at[0].set(r / jnp.maximum(beta, eps)[:, None])
-    H = jnp.zeros((B, m + 1, m), cdtype)
-
-    def step(j, carry):
-        V, H = carry
-        w = matvec(V[j])
-
-        def mgs(i, wh):
-            w, hcol = wh
-            hi = jnp.sum(jnp.conj(V[i]) * w, axis=-1)
-            return (w - hi[:, None] * V[i], hcol.at[:, i].set(hi))
-
-        w, hcol = lax.fori_loop(0, j + 1, mgs, (w, jnp.zeros((B, m + 1), cdtype)))
-        hn = jnp.sqrt(jnp.sum(jnp.abs(w) ** 2, axis=-1))
-        hcol = hcol.at[:, j + 1].set(hn.astype(cdtype))
-        V = V.at[j + 1].set(w / jnp.maximum(hn, eps)[:, None])
-        H = H.at[:, :, j].set(hcol)
-        return (V, H)
-
-    V, H = lax.fori_loop(0, m, step, (V, H))
-    # least squares min ||beta e1 - H y|| via normal equations (m is tiny)
-    e1 = jnp.zeros((B, m + 1), cdtype).at[:, 0].set(beta.astype(cdtype))
-    HtH = jnp.einsum("bij,bik->bjk", jnp.conj(H), H)
-    HtH = HtH + 1e-30 * jnp.eye(m, dtype=cdtype)[None]
-    Htb = jnp.einsum("bij,bi->bj", jnp.conj(H), e1)
-    y = jnp.linalg.solve(HtH, Htb[..., None])[..., 0]
-    return jnp.einsum("jbn,bj->bn", V[:m], y)
+    rdtype = r.re.dtype
+    eps = jnp.finfo(rdtype).tiny
+    beta = cplx.norm(r)
+    Vs = [cplx.scale_real(r, 1.0 / jnp.maximum(beta, eps)[:, None])]
+    # H as python lists of (B,) pair scalars: H[i][j]
+    H = [[None] * m for _ in range(m + 1)]
+    for j in range(m):
+        w = matvec(Vs[j])
+        for i in range(j + 1):
+            hij = cplx.cdot(Vs[i], w)
+            H[i][j] = hij
+            w = w - cplx.cmul(CP(hij.re[:, None], hij.im[:, None]), Vs[i])
+        hn = cplx.norm(w)
+        H[j + 1][j] = CP(hn, jnp.zeros_like(hn))
+        Vs.append(cplx.scale_real(w, 1.0 / jnp.maximum(hn, eps)[:, None]))
+    # normal equations: (H^H H) y = H^H (beta e1)
+    zero = jnp.zeros((B,), rdtype)
+    czero = CP(zero, zero)
+    A = [[czero for _ in range(m)] for _ in range(m)]
+    rhs = [czero for _ in range(m)]
+    for a in range(m):
+        for b_ in range(m):
+            s = czero
+            for i in range(min(a, b_) + 2):
+                ha = H[i][a] if i <= a + 1 and H[i][a] is not None else None
+                hb = H[i][b_] if i <= b_ + 1 and H[i][b_] is not None else None
+                if ha is not None and hb is not None:
+                    s = s + cplx.cmul_conj(ha, hb)
+            A[a][b_] = s
+        # rhs_a = conj(H[0][a]) * beta
+        h0a = H[0][a]
+        rhs[a] = CP(h0a.re * beta, -h0a.im * beta)
+    y = _solve_hpd_small(A, rhs, m)
+    out = cplx.czeros((B, n), rdtype)
+    for j in range(m):
+        out = out + cplx.cmul(CP(y[j].re[:, None], y[j].im[:, None]), Vs[j])
+    return out
 
 
 class MGSolver:
-    """Multigrid-preconditioned batched solver over a Hierarchy.
+    """Multigrid-preconditioned batched solver over a Hierarchy (pair-native).
 
     The analog of the reference's MG class solve path; carries the same
     bookkeeping (outer iteration counts, coarsest-level applications,
@@ -80,7 +124,6 @@ class MGSolver:
         self.cfg = cfg or SolverConfig()
         self._matvecs: Dict[int, Callable] = {}
         self._preconds: Dict[int, Callable] = {}
-        # counters in the spirit of multigrid.py:66-77
         self.num_iters = 0
         self.coarsest_lev_iters = [0] * hier.nr_levels
         self.total_solve_calls = 0
@@ -98,7 +141,7 @@ class MGSolver:
             coarsest_inv = self.hier.coarsest_inv
             smooth_iters = self.cfg.smooth_iters
 
-            def v_cycle(b: jnp.ndarray) -> jnp.ndarray:
+            def v_cycle(b: CP) -> CP:
                 bs = [b]
                 xs = []
                 for lev in levels[:-1]:
@@ -106,7 +149,7 @@ class MGSolver:
                     r = bs[-1] - lev.op.matvec(x)
                     xs.append(x)
                     bs.append(lev.P.apply_adjoint(r))
-                xc = bs[-1] @ coarsest_inv.T
+                xc = cplx.matmul_right(bs[-1], coarsest_inv)
                 for lev, x, bf in zip(levels[-2::-1], xs[::-1], bs[-2::-1]):
                     x = x + lev.P.apply(xc)
                     r = bf - lev.op.matvec(x)
@@ -120,15 +163,21 @@ class MGSolver:
     # -- solves -------------------------------------------------------------
     def solve(
         self,
-        b: jnp.ndarray,
+        b: Union[CP, jnp.ndarray, np.ndarray],
         tol: float,
         *,
         level: int = 0,
         precondition: bool = True,
         max_restarts: Optional[int] = None,
     ) -> FGMRESResult:
-        """Solve A_level x = b for a batch b of shape (B, n_level)."""
-        tol_eff = self.cfg.effective_tol(tol, b.dtype)
+        """Solve A_level x = b for a batch b of shape (B, n_level).
+
+        b may be a CP pair (device path) or a complex array (host/test
+        convenience; converted once at this boundary)."""
+        if not isinstance(b, CP):
+            b = cplx.from_complex(np.asarray(b))
+            b = b.astype(self.hier.levels[level].op.dtype)
+        tol_eff = self.cfg.effective_tol(tol, cplx.complex_dtype(b.re.dtype))
         res = fgmres(
             self.matvec(level),
             b,
@@ -144,8 +193,8 @@ class MGSolver:
         self.coarsest_lev_iters[level] += iters
         return res
 
-    def coarsest_solve(self, b: jnp.ndarray) -> jnp.ndarray:
+    def coarsest_solve(self, b: CP) -> CP:
         """Directly apply the precomputed dense coarsest inverse
         (reference: multigrid.py:413-414)."""
         self.coarsest_lev_iters[self.hier.nr_levels - 1] += 1
-        return b @ self.hier.coarsest_inv.T
+        return cplx.matmul_right(b, self.hier.coarsest_inv)

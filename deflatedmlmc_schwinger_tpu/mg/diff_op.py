@@ -14,7 +14,7 @@ from typing import Callable, Tuple
 import jax.numpy as jnp
 
 from deflatedmlmc_schwinger_tpu.mg.cycle import MGSolver
-from deflatedmlmc_schwinger_tpu.ops.dirac import gamma3
+from deflatedmlmc_schwinger_tpu.ops.dirac import gamma3_pair
 
 
 def level_structure(solver: MGSolver, level: int, skip_level: bool) -> Tuple:
@@ -38,7 +38,7 @@ def level_structure(solver: MGSolver, level: int, skip_level: bool) -> Tuple:
 def make_diff_op(
     solver: MGSolver, level: int, tol: float, skip_level: bool
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    """The difference operator f_l acting on (B, n_l) batches."""
+    """The difference operator f_l acting on (B, n_l) pair batches."""
     fine, coarse, restrict, prolong = level_structure(solver, level, skip_level)
     coarsest = solver.hier.nr_levels - 1
 
@@ -59,4 +59,4 @@ def make_diff_op_Q(
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
     """Hermitian form f_l(gamma3 v) (reference: multigrid.py:461-468)."""
     f = make_diff_op(solver, level, tol, skip_level)
-    return lambda v: f(gamma3(v))
+    return lambda v: f(gamma3_pair(v))

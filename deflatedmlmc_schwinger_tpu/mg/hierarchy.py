@@ -1,15 +1,16 @@
 """Containers for the multigrid hierarchy (the reference's LevelML/SimpleML,
 multigrid.py:26-48, re-designed as JAX pytrees).
 
-Level operators:
-  * level 0: the 9-point StencilOperator (ops/dirac.py);
+All device data is held as CP (re, im) real pairs (see ops/cplx.py for why):
+  * level 0: the 9-point PairStencilOperator (ops/dirac.py);
   * coarse levels: DenseOperator -- coarse matrices are small (8192^2 and
-    below for the shipped configs) and a dense batched matvec runs on the MXU.
+    below for the shipped configs) and the pair matvec is four real MXU
+    matmuls.
 
 Prolongators are stored as per-aggregate dense blocks (n_aggr, L, 2k):
 aggregation is a partition of the flat index space into contiguous strips of
 length L that never straddle the spin boundary, so P is block-diagonal over
-strips and applying P / R = P^H is one batched einsum -- there is no
+strips and applying P / R = P^H is one batched (pair) einsum -- no
 gather/scatter and no CSR anywhere on device (the reference's Python
 quad-loop P assembly + CGS is multigrid.py:192-259).
 """
@@ -19,70 +20,75 @@ from __future__ import annotations
 from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
+
+from deflatedmlmc_schwinger_tpu.ops import cplx
+from deflatedmlmc_schwinger_tpu.ops.cplx import CP
 
 
 @struct.dataclass
 class DenseOperator:
-    """Dense coarse-level operator; matvec on (..., n) batches uses the MXU."""
+    """Dense coarse-level operator; pair matvec = 4 real MXU matmuls."""
 
-    mat: jnp.ndarray  # (n, n)
+    mat: CP  # pair of (n, n)
 
     @property
     def n(self) -> int:
-        return self.mat.shape[0]
+        return self.mat.re.shape[0]
 
     @property
     def dtype(self):
-        return self.mat.dtype
+        return self.mat.re.dtype
 
-    def matvec(self, v: jnp.ndarray) -> jnp.ndarray:
-        return v @ self.mat.T
+    def matvec(self, v: CP) -> CP:
+        return cplx.matmul_right(v, self.mat)
+
+    def complex_matrix(self) -> np.ndarray:
+        return cplx.to_complex(self.mat)
 
 
 @struct.dataclass
 class BlockProlongator:
-    """Aggregation prolongator as dense per-aggregate blocks.
+    """Aggregation prolongator as dense per-aggregate blocks (pair).
 
     blocks[j] is the (L, 2k) orthonormal-column block of aggregate j; the
     coarse index layout is j*(2k) + g*k + c (aggregate-major, matching the
     reference's jj_ptr = j*dofip1*2 + g*dofip1 + k, multigrid.py:214,226).
     """
 
-    blocks: jnp.ndarray  # (n_aggr, L, 2k)
+    blocks: CP  # pair of (n_aggr, L, 2k)
 
     @property
     def n_fine(self) -> int:
-        return self.blocks.shape[0] * self.blocks.shape[1]
+        return self.blocks.re.shape[0] * self.blocks.re.shape[1]
 
     @property
     def n_coarse(self) -> int:
-        return self.blocks.shape[0] * self.blocks.shape[2]
+        return self.blocks.re.shape[0] * self.blocks.re.shape[2]
 
-    def apply(self, y: jnp.ndarray) -> jnp.ndarray:
-        """P @ y for flat coarse vectors y of shape (..., n_coarse)."""
-        na, L, dc = self.blocks.shape
-        ya = y.reshape(y.shape[:-1] + (na, dc))
-        out = jnp.einsum("alk,...ak->...al", self.blocks, ya)
-        return out.reshape(y.shape[:-1] + (na * L,))
+    def apply(self, y: CP) -> CP:
+        """P @ y for flat pair coarse vectors y of shape (..., n_coarse)."""
+        na, L, dc = self.blocks.re.shape
+        ya = y.reshape(y.re.shape[:-1] + (na, dc))
+        out = cplx.einsum2("alk,...ak->...al", self.blocks, ya)
+        return out.reshape(y.re.shape[:-1] + (na * L,))
 
-    def apply_adjoint(self, x: jnp.ndarray) -> jnp.ndarray:
-        """R @ x = P^H @ x for flat fine vectors x of shape (..., n_fine)."""
-        na, L, dc = self.blocks.shape
-        xa = x.reshape(x.shape[:-1] + (na, L))
-        out = jnp.einsum("alk,...al->...ak", jnp.conj(self.blocks), xa)
-        return out.reshape(x.shape[:-1] + (na * dc,))
+    def apply_adjoint(self, x: CP) -> CP:
+        """R @ x = P^H @ x for flat pair fine vectors x of shape (..., n_fine)."""
+        na, L, dc = self.blocks.re.shape
+        xa = x.reshape(x.re.shape[:-1] + (na, L))
+        out = cplx.einsum2_conj_a("alk,...al->...ak", self.blocks, xa)
+        return out.reshape(x.re.shape[:-1] + (na * dc,))
 
-    def to_dense(self) -> jnp.ndarray:
-        """Materialize P as a dense (n_fine, n_coarse) matrix (tests only)."""
-        import numpy as np
-
-        na, L, dc = self.blocks.shape
-        P = np.zeros((na * L, na * dc), dtype=self.blocks.dtype)
-        b = np.asarray(self.blocks)
+    def to_dense(self) -> np.ndarray:
+        """Materialize P as a host complex (n_fine, n_coarse) matrix (tests)."""
+        b = cplx.to_complex(self.blocks)
+        na, L, dc = b.shape
+        P = np.zeros((na * L, na * dc), dtype=b.dtype)
         for j in range(na):
             P[j * L : (j + 1) * L, j * dc : (j + 1) * dc] = b[j]
-        return jnp.asarray(P)
+        return P
 
 
 @struct.dataclass
@@ -90,7 +96,7 @@ class MGLevel:
     """One level: its operator, the prolongator to the next coarser level,
     and the displacement shift for the permuted (displaced-trace) observable."""
 
-    op: Any                                  # StencilOperator | DenseOperator
+    op: Any                                  # PairStencilOperator | DenseOperator
     P: Optional[BlockProlongator]            # None on the coarsest level
     perm_shift: int = struct.field(pytree_node=False, default=0)
 
@@ -102,7 +108,7 @@ class MGLevel:
 @struct.dataclass
 class Hierarchy:
     levels: Tuple[MGLevel, ...]
-    coarsest_inv: jnp.ndarray  # dense inverse of the coarsest operator
+    coarsest_inv: CP  # pair dense inverse of the coarsest operator
 
     @property
     def nr_levels(self) -> int:

@@ -85,6 +85,100 @@ def stencil_matvec(coeffs: jnp.ndarray, v: jnp.ndarray, nx: int, nt: int) -> jnp
     return out.reshape(v.shape)
 
 
+@struct.dataclass
+class PairStencilOperator:
+    """Device form of the stencil operator on (re, im) pairs.
+
+    The spin contraction is unrolled into elementwise multiply-adds (20 real
+    FMA fields per output component) -- no complex dtype, no dot_general, so
+    it is safe inside lax loops on every backend and maps to pure VPU work.
+    """
+
+    coeffs: "CP"  # pair of (2, 2, 5, X, T) real arrays
+    nx: int = struct.field(pytree_node=False, default=0)
+    nt: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def n(self) -> int:
+        return 2 * self.nx * self.nt
+
+    @property
+    def dtype(self):
+        return self.coeffs.re.dtype
+
+    def matvec(self, v: "CP") -> "CP":
+        """Apply to flat pair vectors v of shape (..., N)."""
+        from deflatedmlmc_schwinger_tpu.ops import cplx
+
+        nx, nt = self.nx, self.nt
+        batch = v.re.shape[:-1]
+        gr = v.re.reshape(batch + (2, nx, nt))
+        gi = v.im.reshape(batch + (2, nx, nt))
+        out_r = [0.0, 0.0]
+        out_i = [0.0, 0.0]
+        for k, (dx, dt) in enumerate(TAPS):
+            sr, si = gr, gi
+            if dx:
+                sr = jnp.roll(sr, shift=-dx, axis=-2)
+                si = jnp.roll(si, shift=-dx, axis=-2)
+            if dt:
+                sr = jnp.roll(sr, shift=-dt, axis=-1)
+                si = jnp.roll(si, shift=-dt, axis=-1)
+            for a in range(2):
+                for b in range(2):
+                    if a != b and k == 0:
+                        continue  # cross-spin diagonal structurally zero
+                    cr = self.coeffs.re[a, b, k]
+                    ci = self.coeffs.im[a, b, k]
+                    vr = sr[..., b, :, :]
+                    vi = si[..., b, :, :]
+                    out_r[a] = out_r[a] + (cr * vr - ci * vi)
+                    out_i[a] = out_i[a] + (cr * vi + ci * vr)
+        yr = jnp.stack(out_r, axis=-3).reshape(v.re.shape)
+        yi = jnp.stack(out_i, axis=-3).reshape(v.im.shape)
+        return cplx.CP(yr, yi)
+
+
+def pair_operator(op: StencilOperator) -> PairStencilOperator:
+    """Host-side conversion StencilOperator -> PairStencilOperator."""
+    import numpy as np
+
+    from deflatedmlmc_schwinger_tpu.ops import cplx
+
+    C = np.asarray(op.coeffs)
+    return PairStencilOperator(
+        coeffs=cplx.CP(
+            jnp.asarray(np.ascontiguousarray(C.real)),
+            jnp.asarray(np.ascontiguousarray(C.imag)),
+        ),
+        nx=op.nx,
+        nt=op.nt,
+    )
+
+
+def gamma3_pair(v):
+    """gamma3 on flat pair vectors (negate the second spin half)."""
+    from deflatedmlmc_schwinger_tpu.ops.cplx import CP
+
+    half = v.re.shape[-1] // 2
+    return CP(
+        jnp.concatenate([v.re[..., :half], -v.re[..., half:]], axis=-1),
+        jnp.concatenate([v.im[..., :half], -v.im[..., half:]], axis=-1),
+    )
+
+
+def shift_rows_up_pair(v, d: int):
+    from deflatedmlmc_schwinger_tpu.ops.cplx import CP
+
+    return CP(jnp.roll(v.re, -d, axis=-1), jnp.roll(v.im, -d, axis=-1))
+
+
+def shift_rows_down_pair(v, d: int):
+    from deflatedmlmc_schwinger_tpu.ops.cplx import CP
+
+    return CP(jnp.roll(v.re, d, axis=-1), jnp.roll(v.im, d, axis=-1))
+
+
 def gamma3(v: jnp.ndarray) -> jnp.ndarray:
     """Apply gamma_3 = diag(+I, -I) on the two spin halves of flat vectors.
 

@@ -41,8 +41,12 @@ def make_mesh(
 
 
 def shard_batch(x, mesh: Mesh, axis: str = "samples"):
-    """Place a (B, ...) array with its leading dim sharded over ``axis``."""
-    spec = P(axis, *([None] * (x.ndim - 1)))
+    """Place a (B, ...) array (or CP pair) with its leading dim sharded over
+    ``axis``."""
+    from deflatedmlmc_schwinger_tpu.ops.cplx import CP
+
+    nd = x.re.ndim if isinstance(x, CP) else x.ndim
+    spec = P(axis, *([None] * (nd - 1)))
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 

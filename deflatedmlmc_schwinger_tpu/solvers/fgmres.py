@@ -1,19 +1,18 @@
-"""Batched flexible GMRES, jitted, with fixed-size Krylov buffers.
+"""Batched flexible GMRES on explicit (re, im) pairs, jitted, fixed-size
+Krylov buffers.
 
 TPU-native replacement for the reference's outer Krylov solver -- pyamg
-``fgmres`` around the V-cycle preconditioner (reference: multigrid.py:347-366)
--- and for the scipy ``lgmres`` smoother (multigrid.py:392-394): the smoother
-here is the same routine with ``restart=smooth_iters, max_restarts=1, tol=0``.
+``fgmres`` around the V-cycle preconditioner (reference: multigrid.py:347-366).
 
-Design points:
-  * Solves a whole batch of right-hand sides (B, n) simultaneously -- probes
-    are embarrassingly parallel and batching keeps the VPU/MXU busy.
-  * Arnoldi with modified Gram--Schmidt, complex Givens rotations for a
-    per-row running residual estimate, and ``lax.while_loop`` control flow:
-    the inner loop exits as soon as every batch row is converged, the outer
-    loop re-computes the true residual and restarts.
-  * The preconditioner may be any (possibly nonlinear) callable -- flexible
-    GMRES stores the preconditioned basis Z.
+All state is CP pairs of real arrays (ops/cplx.py): the axon TPU backend does
+not lower complex contractions inside XLA control flow, and real pairs are
+the MXU-native representation anyway. Complex Givens rotations, the Arnoldi
+recurrence and the triangular solve are written in explicit pair arithmetic
+(elementwise VPU ops + real einsums only).
+
+Solves a whole batch of right-hand sides (B, n) at once; the inner loop exits
+as soon as every batch row converged; the outer loop recomputes the true
+residual and restarts.
 """
 
 from __future__ import annotations
@@ -25,62 +24,77 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from deflatedmlmc_schwinger_tpu.ops import cplx
+from deflatedmlmc_schwinger_tpu.ops.cplx import CP
+
 
 class FGMRESResult(NamedTuple):
-    x: jnp.ndarray          # (B, n) solution
+    x: CP                   # (B, n) solution (pair)
     resnorm: jnp.ndarray    # (B,) final true residual norms
     bnorm: jnp.ndarray      # (B,) rhs norms
-    iters: jnp.ndarray      # (B,) int32 Arnoldi steps spent on each row
+    iters: jnp.ndarray      # (B,) int32 Arnoldi steps per row
     cycles: jnp.ndarray     # () int32 restart cycles used
 
 
-def _givens(a: jnp.ndarray, b: jnp.ndarray):
-    """Complex Givens rotation: c real, s complex with
+def _bc(s: CP) -> CP:
+    """Broadcast a (B,) pair scalar over a trailing vector axis."""
+    return CP(s.re[:, None], s.im[:, None])
+
+
+def _givens(a: CP, b: CP):
+    """Complex Givens rotation in pair arithmetic: c real, s pair with
     [c, s; -conj(s), c] @ [a, b]^T = [r, 0]^T."""
-    eps = jnp.finfo(a.real.dtype).tiny
-    na = jnp.abs(a)
-    nb = jnp.abs(b)
+    eps = jnp.finfo(a.re.dtype).tiny
+    na = cplx.cabs(a)
+    nb = cplx.cabs(b)
     t = jnp.sqrt(na * na + nb * nb)
     t_safe = jnp.maximum(t, eps)
     na_safe = jnp.maximum(na, eps)
     c = na / t_safe
-    s = (a / na_safe) * jnp.conj(b) / t_safe
-    # a == 0: rotate (0, b) -> (|b|, 0) with c=0, s=conj(b)/|b|
+    phase = cplx.scale_real(a, 1.0 / na_safe)            # a / |a|
+    s = cplx.scale_real(cplx.cmul(phase, b.conj()), 1.0 / t_safe)
     nb_safe = jnp.maximum(nb, eps)
+    s_a0 = cplx.scale_real(b.conj(), 1.0 / nb_safe)      # a == 0 case
+    s = cplx.where(na > 0, s, s_a0)
     c = jnp.where(na > 0, c, 0.0)
-    s = jnp.where(na > 0, s, jnp.conj(b) / nb_safe)
-    # both zero: identity
     c = jnp.where(t > 0, c, 1.0)
-    s = jnp.where(t > 0, s, 0.0)
-    r = c * a + s * b
+    s = cplx.where(t > 0, s, cplx.CP(jnp.zeros_like(s.re), jnp.zeros_like(s.im)))
+    r = CP(c * a.re, c * a.im) + cplx.cmul(s, b)
     return c, s, r
 
 
-def _norm(v: jnp.ndarray) -> jnp.ndarray:
-    return jnp.sqrt(jnp.sum(jnp.abs(v) ** 2, axis=-1))
+def _rot_apply(c, s: CP, hi: CP, hip1: CP):
+    """Apply [c, s; -conj(s), c] to the pair (hi, hip1)."""
+    new_i = CP(c * hi.re, c * hi.im) + cplx.cmul(s, hip1)
+    new_ip1 = CP(c * hip1.re, c * hip1.im) - cplx.cmul(s.conj(), hi)
+    return new_i, new_ip1
+
+
+def _cp_set(arr: CP, idx, val: CP) -> CP:
+    return CP(arr.re.at[idx].set(val.re), arr.im.at[idx].set(val.im))
 
 
 @functools.partial(
     jax.jit, static_argnames=("matvec", "precond", "restart", "max_restarts")
 )
-def _fgmres_impl(matvec, precond, b, x0, tol_abs, restart, max_restarts):
-    B, n = b.shape
+def _fgmres_impl(matvec, precond, b: CP, x0: CP, tol_abs, restart, max_restarts):
+    B, n = b.re.shape
     m = restart
-    cdtype = b.dtype
-    rdtype = jnp.zeros((), cdtype).real.dtype
+    rdtype = b.re.dtype
     eps = jnp.finfo(rdtype).tiny
 
     def cycle_body(state):
         x, resnorm, iters, cycles = state
         r = b - matvec(x)
-        beta = _norm(r)
-        V = jnp.zeros((m + 1, B, n), cdtype)
-        V = V.at[0].set(r / jnp.maximum(beta, eps)[:, None])
-        Z = jnp.zeros((m, B, n), cdtype)
-        H = jnp.zeros((B, m + 1, m), cdtype)
-        g = jnp.zeros((B, m + 1), cdtype).at[:, 0].set(beta.astype(cdtype))
+        beta = cplx.norm(r)
+        V = cplx.czeros((m + 1, B, n), rdtype)
+        V = _cp_set(V, 0, cplx.scale_real(r, 1.0 / jnp.maximum(beta, eps)[:, None]))
+        Z = cplx.czeros((m, B, n), rdtype)
+        H = cplx.czeros((B, m + 1, m), rdtype)
+        g = cplx.czeros((B, m + 1), rdtype)
+        g = _cp_set(g, (slice(None), 0), CP(beta, jnp.zeros_like(beta)))
         cs = jnp.zeros((m, B), rdtype)
-        sn = jnp.zeros((m, B), cdtype)
+        sn = cplx.czeros((m, B), rdtype)
         res = beta
 
         def arnoldi_cond(c):
@@ -94,37 +108,46 @@ def _fgmres_impl(matvec, precond, b, x0, tol_abs, restart, max_restarts):
             vj = V[j]
             z = precond(vj)
             w = matvec(z)
-            Z = Z.at[j].set(z)
+            Z = _cp_set(Z, j, z)
 
-            hcol = jnp.zeros((B, m + 1), cdtype)
+            hcol = cplx.czeros((B, m + 1), rdtype)
 
             def mgs(i, wh):
                 w, hcol = wh
-                hi = jnp.sum(jnp.conj(V[i]) * w, axis=-1)
-                w = w - hi[:, None] * V[i]
-                return (w, hcol.at[:, i].set(hi))
+                hi = cplx.cdot(V[i], w)                   # (B,)
+                w = w - cplx.cmul(_bc(hi), V[i])
+                return (w, _cp_set(hcol, (slice(None), i), hi))
 
             w, hcol = lax.fori_loop(0, j + 1, mgs, (w, hcol))
-            hnorm = _norm(w)
-            hcol = hcol.at[:, j + 1].set(hnorm.astype(cdtype))
-            V = V.at[j + 1].set(w / jnp.maximum(hnorm, eps)[:, None])
+            hnorm = cplx.norm(w)
+            hcol = _cp_set(
+                hcol, (slice(None), j + 1), CP(hnorm, jnp.zeros_like(hnorm))
+            )
+            V = _cp_set(
+                V, j + 1, cplx.scale_real(w, 1.0 / jnp.maximum(hnorm, eps)[:, None])
+            )
 
-            # apply the accumulated rotations to the new column
             def rot(i, hcol):
-                hi = cs[i] * hcol[:, i] + sn[i] * hcol[:, i + 1]
-                hip1 = -jnp.conj(sn[i]) * hcol[:, i] + cs[i] * hcol[:, i + 1]
-                return hcol.at[:, i].set(hi).at[:, i + 1].set(hip1)
+                hi, hip1 = _rot_apply(
+                    cs[i], sn[i], hcol[:, i], hcol[:, i + 1]
+                )
+                hcol = _cp_set(hcol, (slice(None), i), hi)
+                return _cp_set(hcol, (slice(None), i + 1), hip1)
 
             hcol = lax.fori_loop(0, j, rot, hcol)
             c_new, s_new, r_new = _givens(hcol[:, j], hcol[:, j + 1])
-            hcol = hcol.at[:, j].set(r_new).at[:, j + 1].set(0.0)
+            zero = CP(jnp.zeros((B,), rdtype), jnp.zeros((B,), rdtype))
+            hcol = _cp_set(hcol, (slice(None), j), r_new)
+            hcol = _cp_set(hcol, (slice(None), j + 1), zero)
             cs = cs.at[j].set(c_new)
-            sn = sn.at[j].set(s_new)
+            sn = _cp_set(sn, j, s_new)
             gj = g[:, j]
-            g = g.at[:, j].set(c_new * gj)
-            g = g.at[:, j + 1].set(-jnp.conj(s_new) * gj)
-            H = H.at[:, :, j].set(hcol)
-            res = jnp.where(active, jnp.abs(g[:, j + 1]), res)
+            g = _cp_set(g, (slice(None), j), CP(c_new * gj.re, c_new * gj.im))
+            g = _cp_set(
+                g, (slice(None), j + 1), -cplx.cmul(s_new.conj(), gj)
+            )
+            H = _cp_set(H, (slice(None), slice(None), j), hcol)
+            res = jnp.where(active, cplx.cabs(g[:, j + 1]), res)
             return (V, Z, H, g, cs, sn, j + 1, res, iters)
 
         init = (V, Z, H, g, cs, sn, jnp.int32(0), res, iters)
@@ -132,62 +155,62 @@ def _fgmres_impl(matvec, precond, b, x0, tol_abs, restart, max_restarts):
             arnoldi_cond, arnoldi_body, init
         )
 
-        # solve the (rotated, upper-triangular) least-squares system, padding
-        # unused columns with an identity diagonal so the triangular solve is
-        # well-posed for any j_fin
-        R = H[:, :m, :m]
+        # back substitution on the rotated upper-triangular system; unused
+        # columns (>= j_fin) carry identity diagonal + zero rhs -> y = 0
         diag_idx = jnp.arange(m)
         used = diag_idx < j_fin
+        R = H[:, :m, :m]
         Rdiag = R[:, diag_idx, diag_idx]
-        Rdiag = jnp.where(used[None, :], Rdiag, 1.0)
-        R = R.at[:, diag_idx, diag_idx].set(Rdiag)
-        rhs = jnp.where(used[None, :], g[:, :m], 0.0)
-        y = jax.scipy.linalg.solve_triangular(R, rhs, lower=False)
-        x = x + jnp.einsum("jbn,bj->bn", Z, y)
+        one = CP(jnp.ones_like(Rdiag.re), jnp.zeros_like(Rdiag.im))
+        Rdiag = cplx.where(used[None, :], Rdiag, one)
+        R = _cp_set(R, (slice(None), diag_idx, diag_idx), Rdiag)
+        rhs = cplx.where(used[None, :], g[:, :m], cplx.czeros((B, m), rdtype))
+
+        def back_sub(idx, y):
+            j = m - 1 - idx
+            Rrow = R[:, j, :]                       # (B, m)
+            prod = cplx.cmul(Rrow, y)               # elementwise
+            s_re = rhs.re[:, j] - jnp.sum(prod.re, axis=-1)
+            s_im = rhs.im[:, j] - jnp.sum(prod.im, axis=-1)
+            yj = cplx.cdiv(CP(s_re, s_im), R[:, j, j], eps=eps)
+            return _cp_set(y, (slice(None), j), yj)
+
+        y = lax.fori_loop(0, m, back_sub, cplx.czeros((B, m), rdtype))
+        x = x + cplx.einsum2("jbn,bj->bn", Z, y)
         return (x, res, iters, cycles + 1)
 
     def cycle_cond(state):
         x, resnorm, iters, cycles = state
         return jnp.logical_and(cycles < max_restarts, jnp.any(resnorm > tol_abs))
 
-    x0_res = _norm(b - matvec(x0))
+    x0_res = cplx.norm(b - matvec(x0))
     state = (x0, x0_res, jnp.zeros((B,), jnp.int32), jnp.int32(0))
     x, _, iters, cycles = lax.while_loop(cycle_cond, cycle_body, state)
-    final_res = _norm(b - matvec(x))
+    final_res = cplx.norm(b - matvec(x))
     return x, final_res, iters, cycles
 
 
 def fgmres(
-    matvec: Callable[[jnp.ndarray], jnp.ndarray],
-    b: jnp.ndarray,
+    matvec: Callable[[CP], CP],
+    b: CP,
     *,
     tol: float,
     restart: int = 20,
     max_restarts: int = 10,
-    precond: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
-    x0: Optional[jnp.ndarray] = None,
+    precond: Optional[Callable[[CP], CP]] = None,
+    x0: Optional[CP] = None,
 ) -> FGMRESResult:
-    """Solve A x = b for a batch of right-hand sides.
-
-    Args:
-      matvec: (B, n) -> (B, n) application of A.
-      b: (B, n) right-hand sides (a single (n,) vector is promoted).
-      tol: relative residual tolerance (||b - A x|| <= tol * ||b|| per row).
-      restart: Krylov subspace dimension per cycle.
-      max_restarts: maximum number of cycles.
-      precond: right preconditioner (B, n) -> (B, n); identity if None.
-      x0: initial guess, zeros if None.
-    """
-    single = b.ndim == 1
+    """Solve A x = b for a batch of pair right-hand sides b (B, n)."""
+    single = b.re.ndim == 1
     if single:
-        b = b[None, :]
+        b = CP(b.re[None, :], b.im[None, :])
     if x0 is None:
-        x0 = jnp.zeros_like(b)
+        x0 = cplx.czeros(b.re.shape, b.re.dtype)
     elif single:
-        x0 = x0[None, :]
+        x0 = CP(x0.re[None, :], x0.im[None, :])
     if precond is None:
         precond = lambda v: v
-    bnorm = _norm(b)
+    bnorm = cplx.norm(b)
     tol_abs = jnp.asarray(tol, bnorm.dtype) * bnorm
     x, res, iters, cycles = _fgmres_impl(
         matvec, precond, b, x0, tol_abs, int(restart), int(max_restarts)
@@ -195,3 +218,23 @@ def fgmres(
     if single:
         x, res, bnorm, iters = x[0], res[0], bnorm[0], iters[0]
     return FGMRESResult(x=x, resnorm=res, bnorm=bnorm, iters=iters, cycles=cycles)
+
+
+def wrap_complex_matvec(mv: Callable) -> Callable[[CP], CP]:
+    """Adapt a complex-array matvec (host/test oracle) to the pair interface.
+
+    Round-trips through host numpy -- validation convenience only, never the
+    production path.
+    """
+
+    def pmv(v: CP) -> CP:
+        z = mv(jnp.asarray(cplx.to_complex(v)))
+        return cplx.from_complex(z)
+
+    return pmv
+
+
+def fgmres_complex(matvec, b, **kw) -> FGMRESResult:
+    """Complex-array convenience wrapper (tests and host oracles)."""
+    res = fgmres(wrap_complex_matvec(matvec), cplx.from_complex(b), **kw)
+    return res

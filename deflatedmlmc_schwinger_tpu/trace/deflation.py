@@ -1,4 +1,4 @@
-"""Deflation pre-computations for both estimators.
+"""Deflation pre-computations for both estimators (pair-native).
 
 Reference: utils.py:130-201. Semantics preserved exactly:
   * Hutchinson: eigenpairs of the Hermitian Q = gamma3 A nearest zero; the
@@ -22,17 +22,19 @@ TPU-native upgrades (flagged where behavior could differ):
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Optional
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from deflatedmlmc_schwinger_tpu.config import TraceConfig
 from deflatedmlmc_schwinger_tpu.mg.cycle import MGSolver
 from deflatedmlmc_schwinger_tpu.mg.diff_op import make_diff_op, make_diff_op_Q
-from deflatedmlmc_schwinger_tpu.ops.dirac import gamma3, shift_rows_down, shift_rows_up
+from deflatedmlmc_schwinger_tpu.ops import cplx
+from deflatedmlmc_schwinger_tpu.ops.cplx import CP
+from deflatedmlmc_schwinger_tpu.ops.dirac import gamma3_pair
 from deflatedmlmc_schwinger_tpu.solvers.eigs import (
+    _apply_cols,
     inverse_iteration_smallest,
     subspace_iteration_largest,
 )
@@ -40,13 +42,21 @@ from deflatedmlmc_schwinger_tpu.solvers.eigs import (
 
 @dataclasses.dataclass
 class Deflation:
-    """Deflation data for one estimator/level."""
+    """Deflation data for one estimator/level. U is the probe projector
+    basis as a CP pair of (n, k) arrays (device)."""
 
-    U: Optional[jnp.ndarray]        # probe projector basis (n, k) or None
-    tr1: complex                    # low-rank trace correction
+    U: Optional[CP]
+    tr1: complex
     values: Optional[np.ndarray] = None
     resnorms: Optional[np.ndarray] = None
-    aux_V: Optional[jnp.ndarray] = None  # MLMC: U of the reference (for inexact_03)
+    aux_V: Optional[CP] = None  # MLMC: the reference's Ux (for inexact_03)
+
+
+def _device_basis(V: np.ndarray, rdtype) -> CP:
+    return CP(
+        jnp.asarray(np.ascontiguousarray(V.real).astype(np.dtype(rdtype))),
+        jnp.asarray(np.ascontiguousarray(V.imag).astype(np.dtype(rdtype))),
+    )
 
 
 def hutchinson_deflation(
@@ -54,49 +64,55 @@ def hutchinson_deflation(
     solver: MGSolver,
     cfg: TraceConfig,
     *,
-    key=None,
     correction_mode: str = "solve",
     rounds: int = 6,
+    seed_offset: int = 101,
 ) -> Deflation:
     """Deflation basis + exact correction for deflated Hutchinson."""
     k = int(cfg.nr_deflat_vctrs)
     if k == 0:
         return Deflation(U=None, tr1=0.0 + 0.0j)
-    if key is None:
-        key = jax.random.key(cfg.seed + 101)
-    dtype = op.dtype
-    mvQ = lambda v: gamma3(op.matvec(v))
-    solve_tol = max(cfg.defl_eigvs_tol_Hutch, solver.cfg.tol_floor(dtype))
+    rdtype = op.dtype
+    mvQ = lambda v: gamma3_pair(op.matvec(v))
+    solve_tol = cfg.solver.effective_tol(
+        cfg.defl_eigvs_tol_Hutch, cplx.complex_dtype(rdtype)
+    )
 
-    def apply_Qinv(v):  # Q^{-1} v = A^{-1} gamma3 v
-        return solver.solve(gamma3(v), solve_tol).x
+    def apply_Qinv(v: CP) -> CP:  # Q^{-1} v = A^{-1} gamma3 v
+        return solver.solve(gamma3_pair(v), solve_tol).x
 
     eig = inverse_iteration_smallest(
-        mvQ, apply_Qinv, op.n, k, dtype=dtype, key=key, rounds=rounds,
-        tol=cfg.defl_eigvs_tol_Hutch,
+        mvQ, apply_Qinv, op.n, k, rdtype=rdtype, seed=cfg.seed + seed_offset,
+        rounds=rounds, tol=cfg.defl_eigvs_tol_Hutch,
     )
-    theta = np.asarray(eig.values)           # signed eigenvalues of Q
-    V = eig.vectors                          # (n, k)
-    sgn = jnp.asarray(np.sign(theta).astype(np.float64)).astype(dtype)
-    U = gamma3(V.T).T * sgn[None, :]
+    theta = eig.values                      # signed eigenvalues of Q
+    V = eig.vectors                         # host (n, k)
+    sgn = np.sign(theta)
+    half = V.shape[0] // 2
+    U = np.concatenate([V[:half], -V[half:]], axis=0) * sgn[None, :]
     d = solver.hier.levels[0].perm_shift
     if cfg.use_permuted and d:
-        U = shift_rows_up(U.T, d).T
+        U = np.roll(U, -d, axis=0)          # Pi @ U
 
     if correction_mode == "eig":
         # reference formula (utils.py:173): tr(U^H V |Lambda|^{-1})
-        small = (U.conj().T @ V) * jnp.asarray(1.0 / np.abs(theta))[None, :].astype(dtype)
-        tr1 = complex(jnp.trace(small))
+        small = (U.conj().T @ V) * (1.0 / np.abs(theta))[None, :]
+        tr1 = complex(np.trace(small))
     elif correction_mode == "solve":
         # exact: tr(A^{-1} Pi^T U U^H) = sum_i <U_i, A^{-1} Pi^T U_i>
-        rhs = U.T
+        rhs = U
         if cfg.use_permuted and d:
-            rhs = shift_rows_down(rhs, d)
-        Z = solver.solve(rhs, max(cfg.function_tol, solver.cfg.tol_floor(dtype))).x
-        tr1 = complex(jnp.sum(jnp.conj(U.T) * Z))
+            rhs = np.roll(rhs, d, axis=0)   # Pi^T @ U
+        fn_tol = cfg.solver.effective_tol(
+            cfg.function_tol, cplx.complex_dtype(rdtype)
+        )
+        Z = _apply_cols(lambda v: solver.solve(v, fn_tol).x, rhs, rdtype)
+        tr1 = complex(np.sum(np.conj(U) * Z))
     else:
         raise ValueError(correction_mode)
-    return Deflation(U=U, tr1=tr1, values=theta, resnorms=np.asarray(eig.resnorms))
+    return Deflation(
+        U=_device_basis(U, rdtype), tr1=tr1, values=theta, resnorms=eig.resnorms
+    )
 
 
 def mlmc_level_deflation(
@@ -106,7 +122,6 @@ def mlmc_level_deflation(
     cfg: TraceConfig,
     skip_level: bool,
     *,
-    key=None,
     rounds: int = 10,
 ) -> Deflation:
     """Per-difference-level deflation for MLMC (reference: utils.py:141-189,
@@ -114,27 +129,27 @@ def mlmc_level_deflation(
     diff_lev_op_tol."""
     if k == 0:
         return Deflation(U=None, tr1=0.0 + 0.0j)
-    if key is None:
-        key = jax.random.key(cfg.seed + 202 + level)
     n = solver.hier.levels[level].n
-    dtype = solver.hier.levels[level].op.dtype
+    rdtype = solver.hier.levels[level].op.dtype
     qd = make_diff_op_Q(solver, level, cfg.diff_lev_op_tol, skip_level)
     eig = subspace_iteration_largest(
-        qd, n, k, dtype=dtype, key=key, rounds=rounds, tol=cfg.defl_eigvs_tol_MLMC
+        qd, n, k, rdtype=rdtype, seed=cfg.seed + 202 + level, rounds=rounds,
+        tol=cfg.defl_eigvs_tol_MLMC,
     )
-    theta = np.asarray(eig.values)
-    W = eig.vectors
-    sgn = jnp.asarray(np.sign(theta).astype(np.float64)).astype(dtype)
+    theta = eig.values
+    W = eig.vectors                          # host (n, k)
+    sgn = np.sign(theta)
     Uref = W * sgn[None, :]                  # the reference's Ux (utils.py:148-149)
-    V = gamma3(W.T).T                        # probe projector basis (utils.py:157)
+    half = n // 2
+    V = np.concatenate([W[:half], -W[half:]], axis=0)  # gamma3 W (utils.py:157)
 
     if cfg.defl_type == "exact":
-        small = (Uref.conj().T @ V) * jnp.asarray(np.abs(theta))[None, :].astype(dtype)
-        tr1 = complex(jnp.trace(small))
+        small = (Uref.conj().T @ V) * np.abs(theta)[None, :]
+        tr1 = complex(np.trace(small))
     elif cfg.defl_type == "inexact_01":
         f = make_diff_op(solver, level, cfg.diff_lev_op_tol, skip_level)
-        Vbuff = f(V.T).T
-        tr1 = complex(jnp.trace(V.conj().T @ Vbuff))
+        Vbuff = _apply_cols(f, V, rdtype)
+        tr1 = complex(np.trace(V.conj().T @ Vbuff))
     elif cfg.defl_type == "inexact_02":
         raise NotImplementedError("deflation type inexact_02 under construction")
     elif cfg.defl_type == "inexact_03":
@@ -142,14 +157,18 @@ def mlmc_level_deflation(
     else:
         raise ValueError(f"unknown deflation type {cfg.defl_type!r}")
     return Deflation(
-        U=V, tr1=tr1, values=theta, resnorms=np.asarray(eig.resnorms), aux_V=Uref
+        U=_device_basis(V, rdtype),
+        tr1=tr1,
+        values=theta,
+        resnorms=eig.resnorms,
+        aux_V=_device_basis(Uref, rdtype),
     )
 
 
-def deflate(x: jnp.ndarray, U: Optional[jnp.ndarray]) -> jnp.ndarray:
-    """x - U (U^H x) on (B, n) batches (one fused tall-skinny matmul pair,
+def deflate(x: CP, U: Optional[CP]) -> CP:
+    """x - U (U^H x) on (B, n) pair batches (fused tall-skinny real matmuls,
     reference: utils.py:224,266)."""
     if U is None:
         return x
-    c = x @ jnp.conj(U)          # (B, k)
-    return x - c @ U.T
+    c = cplx.matmul_right_conjT(x, U)        # (B, k) = x @ conj(U)
+    return x - cplx.matmul_right(c, U)       # c @ U.T

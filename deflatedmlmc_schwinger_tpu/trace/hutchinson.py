@@ -9,6 +9,7 @@ TPU-native changes:
   * probes are sampled in batches of ``cfg.probe_batch`` and solved as one
     batched MG-FGMRES call (the reference runs one 10-second solve per probe
     on one core; here the whole batch shares every V-cycle);
+  * all device compute is in (re, im) pair form (ops/cplx.py);
   * probes come from counter-based keys (order/batch/shard independent) or,
     for matched-seed validation, from the reference's exact NumPy stream
     (trace/probes.py);
@@ -19,44 +20,47 @@ TPU-native changes:
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Dict, Optional
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from deflatedmlmc_schwinger_tpu.config import TraceConfig
 from deflatedmlmc_schwinger_tpu.mg.cycle import MGSolver
 from deflatedmlmc_schwinger_tpu.mg.setup import setup_hierarchy
-from deflatedmlmc_schwinger_tpu.ops.dirac import StencilOperator, shift_rows_down
-from deflatedmlmc_schwinger_tpu.trace.deflation import Deflation, deflate, hutchinson_deflation
+from deflatedmlmc_schwinger_tpu.ops import cplx
+from deflatedmlmc_schwinger_tpu.ops.dirac import (
+    StencilOperator,
+    pair_operator,
+    shift_rows_down_pair,
+)
+from deflatedmlmc_schwinger_tpu.trace.deflation import (
+    Deflation,
+    deflate,
+    hutchinson_deflation,
+)
 from deflatedmlmc_schwinger_tpu.trace.probes import make_probe_source
 from deflatedmlmc_schwinger_tpu.trace.stats import RunningMoments, should_stop
 from deflatedmlmc_schwinger_tpu.utils.flops import flops_vcycle, level_nnz
 from deflatedmlmc_schwinger_tpu.utils.timer import PhaseTimer
 
 
-def hutchinson_step_batch(
-    op,
-    solver: MGSolver,
-    cfg: TraceConfig,
-    defl: Deflation,
-    probes: jnp.ndarray,
-):
+def hutchinson_step_batch(op, solver: MGSolver, cfg: TraceConfig,
+                          defl: Deflation, probes):
     """One batch of deflated Hutchinson estimates (reference:
-    utils.py:210-250). Returns (estimates (B,), per-row iteration counts)."""
+    utils.py:210-250). probes is a (B, n) CP pair; returns host
+    (estimates complex (B,), per-row iteration counts)."""
     x = probes
     x_def = deflate(x, defl.U)
     d = solver.hier.levels[0].perm_shift
     if cfg.use_permuted and d:
-        x_def = shift_rows_down(x_def, d)
+        x_def = shift_rows_down_pair(x_def, d)
     res = solver.solve(x_def, cfg.function_tol)
-    e = jnp.sum(jnp.conj(x) * res.x, axis=-1)
-    return e, res.iters
+    e = cplx.cdot(x, res.x)                  # (B,) pair
+    return np.asarray(e.re) + 1j * np.asarray(e.im), np.asarray(res.iters)
 
 
 def hutchinson(
-    op: StencilOperator,
+    op,
     cfg: TraceConfig,
     *,
     hier=None,
@@ -73,6 +77,8 @@ def hutchinson(
     unsharded run thanks to counter-based probe keys."""
     timer = timer or PhaseTimer()
     log = print if verbose else (lambda *a, **k: None)
+    if isinstance(op, StencilOperator):
+        op = pair_operator(op)
 
     # ---- MG setup (stoch_trace.py:50-75) ----
     if solver is None:
@@ -95,11 +101,11 @@ def hutchinson(
     # ---- rough trace (stoch_trace.py:101-118) ----
     rough_probes = make_probe_source(probe_source, cfg.rough_seed)
     n = op.n
-    dtype = op.dtype
+    rdtype = op.dtype
     with timer.phase("rough_trace"):
-        X = rough_probes(0, cfg.nr_rough_iters, n, dtype)
+        X = rough_probes(0, cfg.nr_rough_iters, n, rdtype)
         es, _ = hutchinson_step_batch(op, solver, cfg, defl, X)
-        rough_trace = complex(jnp.mean(es)) + defl.tr1
+        rough_trace = complex(np.mean(es)) + defl.tr1
     rough_trace_tol = abs(cfg.trace_tol * rough_trace)
     log(f"rough trace: {rough_trace:.6f}  target stderr: {rough_trace_tol:.3e}")
 
@@ -118,12 +124,12 @@ def hutchinson(
     with timer.phase("sampling"):
         start = 0
         while start < cfg.max_nr_ests:
-            X = probes(start, B, n, dtype)
+            X = probes(start, B, n, rdtype)
             if mesh is not None:
                 X = shard_batch(X, mesh, cfg.sample_axis)
             es, iters = hutchinson_step_batch(op, solver, cfg, defl, X)
-            moments.update_batch(np.asarray(es))
-            function_iters += int(np.sum(np.asarray(iters)))
+            moments.update_batch(es)
+            function_iters += int(np.sum(iters))
             start += B
             if should_stop(moments, rough_trace_tol, cfg.min_nr_ests):
                 break

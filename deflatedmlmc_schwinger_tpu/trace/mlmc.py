@@ -27,10 +27,13 @@ from deflatedmlmc_schwinger_tpu.mg.cycle import MGSolver
 from deflatedmlmc_schwinger_tpu.mg.diff_op import level_structure
 from deflatedmlmc_schwinger_tpu.mg.hierarchy import Hierarchy
 from deflatedmlmc_schwinger_tpu.mg.setup import setup_hierarchy
+from deflatedmlmc_schwinger_tpu.ops import cplx
+from deflatedmlmc_schwinger_tpu.ops.cplx import CP
 from deflatedmlmc_schwinger_tpu.ops.dirac import (
     StencilOperator,
-    shift_rows_down,
-    shift_rows_up,
+    pair_operator,
+    shift_rows_down_pair,
+    shift_rows_up_pair,
 )
 from deflatedmlmc_schwinger_tpu.trace.deflation import (
     Deflation,
@@ -45,25 +48,26 @@ from deflatedmlmc_schwinger_tpu.utils.flops import flops_vcycle, level_nnz
 from deflatedmlmc_schwinger_tpu.utils.timer import PhaseTimer
 
 
-def bblock_apply(hier: Hierarchy, level: int, v: jnp.ndarray) -> jnp.ndarray:
+def bblock_apply(hier: Hierarchy, level: int, v: CP) -> CP:
     """Apply the accumulated B-block operator B_l (lazy composition; the
     reference materializes sparse matrices, multigrid.py:328-331):
     B_0 = I;  B_l = R_{l-1} B_{l-1} Pi_{l-1}^H P_{l-1} Pi_l."""
     if level == 0:
         return v
-    w = shift_rows_up(v, hier.levels[level].perm_shift)
+    w = shift_rows_up_pair(v, hier.levels[level].perm_shift)
     w = hier.levels[level - 1].P.apply(w)
-    w = shift_rows_down(w, hier.levels[level - 1].perm_shift)
+    w = shift_rows_down_pair(w, hier.levels[level - 1].perm_shift)
     w = bblock_apply(hier, level - 1, w)
     return hier.levels[level - 1].P.apply_adjoint(w)
 
 
-def bblock_matrix(hier: Hierarchy, level: int) -> jnp.ndarray:
-    """Materialize B_l as a dense (n_l, n_l) matrix (coarsest level only)."""
+def bblock_matrix(hier: Hierarchy, level: int) -> np.ndarray:
+    """Materialize B_l as a host complex (n_l, n_l) matrix (coarsest only)."""
     n = hier.levels[level].n
-    eye = jnp.eye(n, dtype=hier.levels[level].op.dtype)
+    rdtype = hier.levels[level].op.dtype
+    eye = CP(jnp.eye(n, dtype=rdtype), jnp.zeros((n, n), rdtype))
     rows = bblock_apply(hier, level, eye)  # row j = B e_j
-    return rows.T
+    return cplx.to_complex(rows).T
 
 
 def mlmc_step_batch(
@@ -83,34 +87,42 @@ def mlmc_step_batch(
 
     if defl.U is not None and cfg.defl_type == "inexact_03":
         # oblique projector x - V (U^H A V)^{-1} U^H A x (utils.py:269-276)
+        from deflatedmlmc_schwinger_tpu.solvers.eigs import _apply_cols
+
         V, Uref = defl.U, defl.aux_V
-        Af = lambda v: solver.matvec(level)(v)
-        AV = Af(V.T).T
-        Bl = jnp.linalg.inv(Uref.conj().T @ AV)
-        t = Af(x0) @ jnp.conj(Uref)
-        x_def = x0 - (t @ Bl.T) @ V.T
+        rdtype = x0.re.dtype
+        Af = solver.matvec(level)
+        AV = _apply_cols(Af, cplx.to_complex(V), rdtype)         # host (n, k)
+        Bl = np.linalg.inv(cplx.to_complex(Uref).conj().T @ AV)  # (k, k)
+        Blp = CP(jnp.asarray(Bl.real.astype(np.dtype(rdtype))),
+                 jnp.asarray(Bl.imag.astype(np.dtype(rdtype))))
+        t = cplx.matmul_right_conjT(Af(x0), Uref)                # (B, k)
+        coef = cplx.matmul_right(t, Blp)                         # (B, k) @ Bl^T
+        x_def = x0 - cplx.matmul_right(coef, V)
     else:
         x_def = deflate(x0, defl.U)
 
     d = hier.levels[level].perm_shift
     if cfg.use_permuted:
-        x_def = shift_rows_down(x_def, d)
+        x_def = shift_rows_down_pair(x_def, d)
         x_def = bblock_apply(hier, level, x_def)
 
     res_f = solver.solve(x_def, cfg.function_tol, level=fine)
-    e1 = jnp.sum(jnp.conj(x0) * res_f.x, axis=-1)
+    e1 = cplx.cdot(x0, res_f.x)
 
     xc = restrict(x_def)
     if coarse == coarsest:
         y = solver.coarsest_solve(xc)
-        iters2 = jnp.ones(x0.shape[0], jnp.int32)
+        iters2 = jnp.ones(x0.re.shape[0], jnp.int32)
     else:
         res_c = solver.solve(xc, cfg.function_tol, level=coarse)
         y = res_c.x
         iters2 = res_c.iters
     w = prolong(y)
-    e2 = jnp.sum(jnp.conj(x0) * w, axis=-1)
-    return e1 - e2, res_f.iters, iters2, coarse
+    e2 = cplx.cdot(x0, w)
+    e = e1 - e2
+    es = np.asarray(e.re) + 1j * np.asarray(e.im)
+    return es, np.asarray(res_f.iters), np.asarray(iters2), coarse
 
 
 def _tolerance_fractions(nr_levels: int, skip_level: bool):
@@ -151,6 +163,8 @@ def mlmc(
     """Compute tr(A^{-1}) (or tr(A^{-1} Pi)) by deflated MG-MLMC."""
     timer = timer or PhaseTimer()
     log = print if verbose else (lambda *a, **k: None)
+    if isinstance(op, StencilOperator):
+        op = pair_operator(op)
 
     # ---- skip-level validation (stoch_trace.py:199-206) ----
     skips = list(cfg.mlmc_levels_to_skip)
@@ -189,7 +203,7 @@ def mlmc(
         rough_probes = make_probe_source(probe_source, cfg.rough_seed)
         X = rough_probes(0, cfg.nr_rough_iters, op.n, op.dtype)
         es, _ = hutchinson_step_batch(op, solver, cfg, rough_defl, X)
-        rough_trace = complex(jnp.mean(es)) + rough_defl.tr1
+        rough_trace = complex(np.mean(es)) + rough_defl.tr1
     log(f"rough trace: {rough_trace:.6f}")
 
     # ---- output skeleton (stoch_trace.py:308-321) ----
@@ -224,9 +238,9 @@ def mlmc(
                 es, it1, it2, coarse = mlmc_step_batch(
                     solver, cfg, i, defls[i], X, skip_level
                 )
-                moments.update_batch(np.asarray(es))
-                results[i]["function_iters"] += int(np.sum(np.asarray(it1)))
-                results[coarse]["function_iters"] += int(np.sum(np.asarray(it2)))
+                moments.update_batch(es)
+                results[i]["function_iters"] += int(np.sum(it1))
+                results[coarse]["function_iters"] += int(np.sum(it2))
                 start += B
                 if should_stop(moments, level_trace_tol, cfg.min_nr_ests):
                     break
@@ -249,12 +263,12 @@ def mlmc(
                 "Stochastic coarsest-level computation is disabled at the moment."
             )
         results[-1]["nr_ests"] += 1
-        M = hier.coarsest_inv
+        M = cplx.to_complex(hier.coarsest_inv)
         if cfg.use_permuted:
             Bc = bblock_matrix(hier, nr_levels - 1)
             M = M @ Bc
-            M = jnp.roll(M, hier.levels[-1].perm_shift, axis=0)  # Pi_c^T @ M
-        results[-1]["ests_avg"] = complex(jnp.trace(M))
+            M = np.roll(M, hier.levels[-1].perm_shift, axis=0)  # Pi_c^T @ M
+        results[-1]["ests_avg"] = complex(np.trace(M))
         results[-1]["ests_dev"] = 0.0
     log(f"coarsest exact trace: {results[-1]['ests_avg']:.6f}")
 

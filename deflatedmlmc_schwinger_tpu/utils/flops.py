@@ -13,7 +13,7 @@ from typing import List, Sequence
 import numpy as np
 
 from deflatedmlmc_schwinger_tpu.mg.hierarchy import Hierarchy
-from deflatedmlmc_schwinger_tpu.ops.dirac import StencilOperator
+from deflatedmlmc_schwinger_tpu.ops.dirac import PairStencilOperator, StencilOperator
 
 
 def level_nnz(hier: Hierarchy) -> List[int]:
@@ -23,8 +23,12 @@ def level_nnz(hier: Hierarchy) -> List[int]:
         op = lev.op
         if isinstance(op, StencilOperator):
             out.append(int(np.count_nonzero(np.asarray(op.coeffs))))
+        elif isinstance(op, PairStencilOperator):
+            nz = np.abs(np.asarray(op.coeffs.re)) + np.abs(np.asarray(op.coeffs.im))
+            out.append(int(np.count_nonzero(nz)))
         else:
-            out.append(int(np.count_nonzero(np.asarray(op.mat))))
+            nz = np.abs(np.asarray(op.mat.re)) + np.abs(np.asarray(op.mat.im))
+            out.append(int(np.count_nonzero(nz)))
     return out
 
 

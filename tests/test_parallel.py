@@ -17,36 +17,39 @@ def test_eight_devices_available():
 def test_probe_counter_invariance():
     """Probe s depends only on (seed, s) -- not on batching."""
     src = make_probe_source("jax", 42)
-    full = np.asarray(src(0, 8, 64, jnp.complex128))
-    a = np.asarray(src(0, 3, 64, jnp.complex128))
-    b = np.asarray(src(3, 5, 64, jnp.complex128))
+    full = np.asarray(src(0, 8, 64, jnp.float64).re)
+    a = np.asarray(src(0, 3, 64, jnp.float64).re)
+    b = np.asarray(src(3, 5, 64, jnp.float64).re)
     np.testing.assert_array_equal(full, np.concatenate([a, b], axis=0))
 
 
 def test_numpy_probe_stream_matches_reference():
     """The 'numpy' source reproduces np.random.seed + randint exactly."""
     src = make_probe_source("numpy", 123456)
-    got = np.asarray(src(0, 2, 32, np.complex128))
+    got = np.asarray(src(0, 2, 32, np.float64).re)
     np.random.seed(123456)
     want = np.stack(
         [np.random.randint(2, size=32) * 2 - 1 for _ in range(2)]
-    ).astype(np.complex128)
+    ).astype(np.float64)
     np.testing.assert_array_equal(got, want)
 
 
 def test_sharded_step_matches_unsharded(op16):
     """The batched solve is invariant to sample-axis sharding."""
+    from deflatedmlmc_schwinger_tpu.ops import cplx
+    from deflatedmlmc_schwinger_tpu.ops.dirac import pair_operator
     from deflatedmlmc_schwinger_tpu.solvers.fgmres import fgmres
 
     op, A = op16
+    pop = pair_operator(op)
     src = make_probe_source("jax", 7)
-    X = src(0, 8, op.n, jnp.complex128)
-    res_plain = fgmres(op.matvec, X, tol=1e-8, restart=40, max_restarts=20)
+    X = src(0, 8, op.n, jnp.float64)
+    res_plain = fgmres(pop.matvec, X, tol=1e-8, restart=40, max_restarts=20)
     mesh = make_mesh((8,), ("samples",))
     Xs = shard_batch(X, mesh, "samples")
-    res_shard = fgmres(op.matvec, Xs, tol=1e-8, restart=40, max_restarts=20)
+    res_shard = fgmres(pop.matvec, Xs, tol=1e-8, restart=40, max_restarts=20)
     np.testing.assert_allclose(
-        np.asarray(res_plain.x), np.asarray(res_shard.x), rtol=1e-8, atol=1e-10
+        cplx.to_complex(res_plain.x), cplx.to_complex(res_shard.x), rtol=1e-8, atol=1e-10
     )
 
 
@@ -89,4 +92,4 @@ def test_entry_smoke():
 
     fn, args = g.entry()
     out_shape = jax.eval_shape(fn, *args)
-    assert out_shape.shape == (args[0].shape[0],)
+    assert out_shape.shape == (2, args[0].shape[0])

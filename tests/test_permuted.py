@@ -65,25 +65,23 @@ def test_perm_shifts_propagate(phier):
 
 def test_bblock_level1_matches_definition(phier):
     op, A, cfg, hier = phier
-    P0 = np.asarray(hier.levels[0].P.to_dense())
+    P0 = hier.levels[0].P.to_dense()
     Pi0 = _perm_matrix(hier.levels[0].n, hier.levels[0].perm_shift)
     Pi1 = _perm_matrix(hier.levels[1].n, hier.levels[1].perm_shift)
     # reference: B1 = (R0 B0) (Pi0^H P0 Pi1)  (multigrid.py:328-331)
     B1_ref = P0.conj().T @ Pi0.conj().T @ P0 @ Pi1
-    B1 = np.asarray(bblock_matrix(hier, 1))
+    B1 = bblock_matrix(hier, 1)
     np.testing.assert_allclose(B1, B1_ref, atol=1e-12)
 
 
 def test_permuted_telescoping_identity(phier):
     op, A, cfg, hier = phier
     Ad = np.asarray(A.todense())
-    mats = [Ad] + [np.asarray(l.op.mat) for l in hier.levels[1:]]
+    mats = [Ad] + [l.op.complex_matrix() for l in hier.levels[1:]]
     invs = [np.linalg.inv(m) for m in mats]
-    Ps = [np.asarray(l.P.to_dense()) for l in hier.levels[:-1]]
+    Ps = [l.P.to_dense() for l in hier.levels[:-1]]
     Pis = [_perm_matrix(l.n, l.perm_shift) for l in hier.levels]
-    Bs = [np.eye(hier.levels[0].n)] + [
-        np.asarray(bblock_matrix(hier, i)) for i in (1, 2)
-    ]
+    Bs = [np.eye(hier.levels[0].n)] + [bblock_matrix(hier, i) for i in (1, 2)]
     total = 0.0 + 0.0j
     for i in range(2):
         Mi = invs[i] - Ps[i] @ invs[i + 1] @ Ps[i].conj().T
@@ -97,9 +95,9 @@ def test_permuted_telescoping_identity_skip_level(phier):
     """Skip-level composite form (reference: multigrid.py:496-549)."""
     op, A, cfg, hier = phier
     Ad = np.asarray(A.todense())
-    A2 = np.asarray(hier.levels[2].op.mat)
-    P0 = np.asarray(hier.levels[0].P.to_dense())
-    P1 = np.asarray(hier.levels[1].P.to_dense())
+    A2 = hier.levels[2].op.complex_matrix()
+    P0 = hier.levels[0].P.to_dense()
+    P1 = hier.levels[1].P.to_dense()
     Pc = P0 @ P1
     Pi0 = _perm_matrix(hier.levels[0].n, hier.levels[0].perm_shift)
     Pi2 = _perm_matrix(hier.levels[2].n, hier.levels[2].perm_shift)
@@ -113,7 +111,8 @@ def test_permuted_telescoping_identity_skip_level(phier):
 def test_coarsest_permuted_trace_matches_reference_form(phier):
     """jnp.roll-based Pi_c^T application == dense Pperm matrix product."""
     op, A, cfg, hier = phier
-    M = np.asarray(hier.coarsest_inv) @ np.asarray(bblock_matrix(hier, 2))
+    from deflatedmlmc_schwinger_tpu.ops import cplx
+    M = cplx.to_complex(hier.coarsest_inv) @ bblock_matrix(hier, 2)
     d = hier.levels[2].perm_shift
     Pic = _perm_matrix(hier.levels[2].n, d)
     want = np.trace(Pic.T @ M)

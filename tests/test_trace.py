@@ -98,11 +98,11 @@ def test_mlmc_telescoping_identity_dense(setup16):
     op, A, cfg, hier = setup16
     Ad = np.asarray(A.todense())
     A0inv = np.linalg.inv(Ad)
-    P0 = np.asarray(hier.levels[0].P.to_dense())
-    A1 = np.asarray(hier.levels[1].op.mat)
+    P0 = hier.levels[0].P.to_dense()
+    A1 = hier.levels[1].op.complex_matrix()
     A1inv = np.linalg.inv(A1)
-    P1 = np.asarray(hier.levels[1].P.to_dense())
-    A2 = np.asarray(hier.levels[2].op.mat)
+    P1 = hier.levels[1].P.to_dense()
+    A2 = hier.levels[2].op.complex_matrix()
     A2inv = np.linalg.inv(A2)
     t0 = np.trace(A0inv - P0 @ A1inv @ P0.conj().T)
     t1 = np.trace(A1inv - P1 @ A2inv @ P1.conj().T)
