@@ -20,6 +20,7 @@ TPU-native changes:
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import numpy as np
@@ -69,8 +70,14 @@ def hutchinson(
     timer: Optional[PhaseTimer] = None,
     verbose: bool = True,
     mesh=None,
+    checkpoint_dir: Optional[str] = None,
 ) -> Dict:
     """Compute tr(A^{-1}) (or tr(A^{-1} Pi)) by deflated Hutchinson.
+
+    ``checkpoint_dir``: if set, the hierarchy is cached there and the
+    sampling state (moments + next sample index) persists after every batch;
+    an interrupted run resumes on the exact same counter-keyed probe stream
+    (utils/checkpoint.py).
 
     If ``mesh`` is given, each probe batch is sharded over its 'samples' axis
     (probe data-parallelism, SURVEY.md P1) -- results are bit-identical to the
@@ -81,10 +88,26 @@ def hutchinson(
         op = pair_operator(op)
 
     # ---- MG setup (stoch_trace.py:50-75) ----
+    hier_ckpt = None
+    state_ckpt = None
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        hier_ckpt = os.path.join(checkpoint_dir, "hierarchy.npz")
+        state_ckpt = os.path.join(checkpoint_dir, "hutchinson_state.json")
     if solver is None:
         with timer.phase("mg_setup"):
             if hier is None:
-                hier = setup_hierarchy(op, cfg)
+                if hier_ckpt and os.path.exists(hier_ckpt):
+                    from deflatedmlmc_schwinger_tpu.utils.checkpoint import load_hierarchy
+
+                    hier = load_hierarchy(hier_ckpt, op.dtype)
+                    log(f"resumed hierarchy from {hier_ckpt}")
+                else:
+                    hier = setup_hierarchy(op, cfg)
+                    if hier_ckpt:
+                        from deflatedmlmc_schwinger_tpu.utils.checkpoint import save_hierarchy
+
+                        save_hierarchy(hier, hier_ckpt)
             solver = MGSolver(hier, cfg.solver)
     else:
         hier = solver.hier
@@ -110,8 +133,14 @@ def hutchinson(
     log(f"rough trace: {rough_trace:.6f}  target stderr: {rough_trace_tol:.3e}")
 
     # ---- main loop (stoch_trace.py:131-154) ----
+    from deflatedmlmc_schwinger_tpu.utils.checkpoint import EstimatorState
+
     probes = make_probe_source(probe_source, cfg.seed)
-    moments = RunningMoments()
+    state = EstimatorState.load_or_empty(state_ckpt)
+    moments = state.moments.get("hutchinson", RunningMoments())
+    resume_at = state.next_index.get("hutchinson", 0)
+    if resume_at:
+        log(f"resuming sampling at sample {resume_at} (n={moments.count})")
     function_iters = 0
     solver.coarsest_lev_iters[0] = 0
     B = int(cfg.probe_batch)
@@ -122,7 +151,7 @@ def hutchinson(
         if B % nshards:
             raise ValueError(f"probe_batch {B} not divisible by mesh axis {nshards}")
     with timer.phase("sampling"):
-        start = 0
+        start = resume_at
         while start < cfg.max_nr_ests:
             X = probes(start, B, n, rdtype)
             if mesh is not None:
@@ -131,6 +160,11 @@ def hutchinson(
             moments.update_batch(es)
             function_iters += int(np.sum(iters))
             start += B
+            if state_ckpt:
+                EstimatorState(
+                    moments={"hutchinson": moments},
+                    next_index={"hutchinson": start},
+                ).save(state_ckpt)
             if should_stop(moments, rough_trace_tol, cfg.min_nr_ests):
                 break
 
