@@ -98,6 +98,11 @@ class TraceConfig:
     probe_batch: int = 8                # probes per device per batch
     dtype: Optional[object] = None      # complex dtype; None -> per-x64 default
     solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    # coarse operator storage: 'auto' packs intermediate levels as cyclic
+    # block stencils when the coupling pattern is small (hierarchy.py),
+    # 'dense' forces dense matrices (the coarsest is always dense -- its
+    # inverse is precomputed)
+    coarse_format: str = "auto"
     # eigensolver effort for setup (Chebyshev-filtered subspace iteration)
     chebyshev_degree: int = 100
     subspace_iters: int = 8

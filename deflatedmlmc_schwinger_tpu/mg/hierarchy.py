@@ -49,6 +49,91 @@ class DenseOperator:
 
 
 @struct.dataclass
+class BlockStencilOperator:
+    """Coarse operator as a cyclic block stencil.
+
+    Galerkin coarse operators inherit the lattice's cyclic coupling
+    structure: block-row j couples only to block-columns (j + o) mod nac for
+    a small static offset set (aggregate strips are adjacent in t, x, and
+    across the spin halves). Storing only those blocks cuts the level-1
+    matvec from a dense 8192^2 read (~512 MB/apply) to ~K*nac*dc^2 (~10 MB)
+    -- the memory-bandwidth win that makes coarse V-cycle levels cheap.
+
+    blocks[j, k] is the (dc, dc) coupling of block-row j to block-column
+    (j + offsets[k]) mod nac; the matvec is K rolls + batched pair einsums
+    (loop-safe everywhere).
+    """
+
+    blocks: CP  # (nac, K, dc, dc)
+    offsets: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+
+    @property
+    def n(self) -> int:
+        return self.blocks.re.shape[0] * self.blocks.re.shape[2]
+
+    @property
+    def dtype(self):
+        return self.blocks.re.dtype
+
+    def matvec(self, v: CP) -> CP:
+        nac, K, dc, _ = self.blocks.re.shape
+        batch = v.re.shape[:-1]
+        xa = v.reshape(batch + (nac, dc))
+        out = None
+        for k, off in enumerate(self.offsets):
+            xs = xa
+            if off:
+                xs = CP(
+                    jnp.roll(xa.re, -off, axis=-2), jnp.roll(xa.im, -off, axis=-2)
+                )
+            term = cplx.einsum2("aij,...aj->...ai", self.blocks[:, k], xs)
+            out = term if out is None else out + term
+        return out.reshape(batch + (nac * dc,))
+
+    def complex_matrix(self) -> np.ndarray:
+        b = cplx.to_complex(self.blocks)
+        nac, K, dc, _ = b.shape
+        n = nac * dc
+        C = np.zeros((n, n), dtype=b.dtype)
+        for j in range(nac):
+            for k, off in enumerate(self.offsets):
+                j2 = (j + off) % nac
+                C[j * dc : (j + 1) * dc, j2 * dc : (j2 + 1) * dc] = b[j, k]
+        return C
+
+
+def block_stencil_from_dense(
+    C: np.ndarray, dc: int, rdtype, max_offsets: int = 48
+) -> Optional[BlockStencilOperator]:
+    """Detect the cyclic block-offset structure of a dense coarse matrix and
+    pack it; returns None when the pattern is not small-cyclic (fallback to
+    DenseOperator)."""
+    import jax.numpy as jnp
+
+    n = C.shape[0]
+    if n % dc:
+        return None
+    nac = n // dc
+    Cb = C.reshape(nac, dc, nac, dc).transpose(0, 2, 1, 3)  # (nac, nac, dc, dc)
+    norms = np.abs(Cb).reshape(nac, nac, -1).max(axis=-1)
+    j1, j2 = np.nonzero(norms)
+    offsets = sorted({int((b - a) % nac) for a, b in zip(j1, j2)})
+    if len(offsets) > max_offsets:
+        return None
+    blocks = np.zeros((nac, len(offsets), dc, dc), dtype=C.dtype)
+    rows = np.arange(nac)
+    for k, off in enumerate(offsets):
+        blocks[:, k] = Cb[rows, (rows + off) % nac]
+    return BlockStencilOperator(
+        blocks=CP(
+            jnp.asarray(blocks.real.astype(np.dtype(rdtype))),
+            jnp.asarray(blocks.imag.astype(np.dtype(rdtype))),
+        ),
+        offsets=tuple(offsets),
+    )
+
+
+@struct.dataclass
 class BlockProlongator:
     """Aggregation prolongator as dense per-aggregate blocks (pair).
 

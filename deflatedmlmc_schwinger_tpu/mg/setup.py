@@ -34,6 +34,7 @@ from deflatedmlmc_schwinger_tpu.mg.hierarchy import (
     DenseOperator,
     Hierarchy,
     MGLevel,
+    block_stencil_from_dense,
 )
 from deflatedmlmc_schwinger_tpu.ops import cplx
 from deflatedmlmc_schwinger_tpu.ops.cplx import CP
@@ -158,15 +159,23 @@ def setup_hierarchy(
         levels.append(MGLevel(op=cur_op, P=P, perm_shift=perm_shift))
         # coarse-level shift (reference: multigrid.py:321-326)
         perm_shift = (perm_shift // L) * dof[i + 1] if cfg.use_permuted else 0
-        cur_op = DenseOperator(
-            mat=CP(
-                jnp.asarray(C.real.astype(np.dtype(rdtype))),
-                jnp.asarray(C.imag.astype(np.dtype(rdtype))),
+        is_coarsest = i + 1 == max_levels - 1
+        cur_op = None
+        if not is_coarsest and cfg.coarse_format == "auto":
+            dc = 2 * (dof[i + 1] // 2)
+            cur_op = block_stencil_from_dense(C, dc, rdtype)
+        if cur_op is None:
+            cur_op = DenseOperator(
+                mat=CP(
+                    jnp.asarray(C.real.astype(np.dtype(rdtype))),
+                    jnp.asarray(C.imag.astype(np.dtype(rdtype))),
+                )
             )
-        )
+        if is_coarsest:
+            coarsest_dense = C
 
     levels.append(MGLevel(op=cur_op, P=None, perm_shift=perm_shift))
-    Cinv = np.linalg.inv(cplx.to_complex(cur_op.mat))
+    Cinv = np.linalg.inv(coarsest_dense)
     coarsest_inv = CP(
         jnp.asarray(Cinv.real.astype(np.dtype(rdtype))),
         jnp.asarray(Cinv.imag.astype(np.dtype(rdtype))),

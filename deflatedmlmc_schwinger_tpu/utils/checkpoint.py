@@ -27,6 +27,7 @@ import numpy as np
 
 from deflatedmlmc_schwinger_tpu.mg.hierarchy import (
     BlockProlongator,
+    BlockStencilOperator,
     DenseOperator,
     Hierarchy,
     MGLevel,
@@ -55,6 +56,10 @@ def save_hierarchy(hier: Hierarchy, path: str) -> None:
             entry["kind"] = "stencil"
             entry["nx"], entry["nt"] = op.nx, op.nt
             arrays[f"op{i}_re"], arrays[f"op{i}_im"] = _cp_to_np(op.coeffs)
+        elif isinstance(op, BlockStencilOperator):
+            entry["kind"] = "block_stencil"
+            entry["offsets"] = list(op.offsets)
+            arrays[f"op{i}_re"], arrays[f"op{i}_im"] = _cp_to_np(op.blocks)
         else:
             entry["kind"] = "dense"
             arrays[f"op{i}_re"], arrays[f"op{i}_im"] = _cp_to_np(op.mat)
@@ -77,6 +82,11 @@ def load_hierarchy(path: str, rdtype=jnp.float32) -> Hierarchy:
                 op = PairStencilOperator(
                     coeffs=_np_to_cp(z[f"op{i}_re"], z[f"op{i}_im"], rdtype),
                     nx=entry["nx"], nt=entry["nt"],
+                )
+            elif entry["kind"] == "block_stencil":
+                op = BlockStencilOperator(
+                    blocks=_np_to_cp(z[f"op{i}_re"], z[f"op{i}_im"], rdtype),
+                    offsets=tuple(entry["offsets"]),
                 )
             else:
                 op = DenseOperator(mat=_np_to_cp(z[f"op{i}_re"], z[f"op{i}_im"], rdtype))

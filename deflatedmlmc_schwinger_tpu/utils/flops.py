@@ -12,7 +12,7 @@ from typing import List, Sequence
 
 import numpy as np
 
-from deflatedmlmc_schwinger_tpu.mg.hierarchy import Hierarchy
+from deflatedmlmc_schwinger_tpu.mg.hierarchy import BlockStencilOperator, Hierarchy
 from deflatedmlmc_schwinger_tpu.ops.dirac import PairStencilOperator, StencilOperator
 
 
@@ -25,6 +25,9 @@ def level_nnz(hier: Hierarchy) -> List[int]:
             out.append(int(np.count_nonzero(np.asarray(op.coeffs))))
         elif isinstance(op, PairStencilOperator):
             nz = np.abs(np.asarray(op.coeffs.re)) + np.abs(np.asarray(op.coeffs.im))
+            out.append(int(np.count_nonzero(nz)))
+        elif isinstance(op, BlockStencilOperator):
+            nz = np.abs(np.asarray(op.blocks.re)) + np.abs(np.asarray(op.blocks.im))
             out.append(int(np.count_nonzero(nz)))
         else:
             nz = np.abs(np.asarray(op.mat.re)) + np.abs(np.asarray(op.mat.im))

@@ -30,7 +30,7 @@ def test_hierarchy_roundtrip(tmp_path, op16):
     assert hier2.sizes() == hier.sizes()
     assert [l.perm_shift for l in hier2.levels] == [l.perm_shift for l in hier.levels]
     np.testing.assert_array_equal(
-        cplx.to_complex(hier2.levels[1].op.mat), cplx.to_complex(hier.levels[1].op.mat)
+        hier2.levels[1].op.complex_matrix(), hier.levels[1].op.complex_matrix()
     )
     np.testing.assert_array_equal(
         cplx.to_complex(hier2.levels[0].P.blocks),

@@ -112,3 +112,26 @@ def test_vcycle_contracts(hier16, op16):
     r = np.asarray(b) - (np.asarray(A @ x.T)).T if False else b - x @ np.asarray(A.todense()).T
     ratio = np.linalg.norm(r, axis=1) / np.linalg.norm(b, axis=1)
     assert (ratio < 0.7).all(), ratio
+
+
+def test_block_stencil_coarse_matches_dense(op16):
+    """'auto' coarse format packs level 1 as a cyclic block stencil whose
+    matvec and reconstruction equal the dense Galerkin operator."""
+    from deflatedmlmc_schwinger_tpu.mg.hierarchy import BlockStencilOperator
+    from deflatedmlmc_schwinger_tpu.mg import setup_hierarchy
+
+    op, A = op16
+    cfg = make_cfg(coarse_format="auto")
+    hb = setup_hierarchy(op, cfg)
+    cfgd = make_cfg(coarse_format="dense")
+    hd = setup_hierarchy(op, cfgd)
+    op1 = hb.levels[1].op
+    assert isinstance(op1, BlockStencilOperator)
+    assert len(op1.offsets) < 48
+    Cb = op1.complex_matrix()
+    Cd = hd.levels[1].op.complex_matrix()
+    np.testing.assert_allclose(Cb, Cd, atol=1e-12)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((3, op1.n)) + 1j * rng.standard_normal((3, op1.n))
+    y = cplx.to_complex(op1.matvec(cplx.from_complex(x)))
+    np.testing.assert_allclose(y, x @ Cd.T, atol=1e-10)
