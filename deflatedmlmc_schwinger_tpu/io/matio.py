@@ -16,8 +16,6 @@ from typing import Optional, Tuple
 import numpy as np
 import scipy.sparse as sp
 
-import jax.numpy as jnp
-
 from deflatedmlmc_schwinger_tpu.io.stencil import stencil_from_csr
 from deflatedmlmc_schwinger_tpu.ops.dirac import StencilOperator
 
@@ -85,5 +83,8 @@ def load_operator(
     C = stencil_from_csr(A, nt=nt, nx=nx)
     if dtype is not None:
         C = C.astype(np.dtype(dtype))
-    op = StencilOperator(coeffs=jnp.asarray(C), nx=nx, nt=nt)
+    # Complex coeffs stay on HOST: the axon TPU backend cannot transfer
+    # complex arrays device<->host (UNIMPLEMENTED), and the device compute
+    # form is the (re, im) PairStencilOperator anyway (ops/dirac.py).
+    op = StencilOperator(coeffs=C, nx=nx, nt=nt)
     return op, A

@@ -107,10 +107,21 @@ class PairStencilOperator:
         return self.coeffs.re.dtype
 
     def matvec(self, v: "CP") -> "CP":
-        """Apply to flat pair vectors v of shape (..., N)."""
+        """Apply to flat pair vectors v of shape (..., N).
+
+        On the TPU backend, tile-aligned lattices dispatch to the fused
+        single-pass Pallas kernel (ops/pallas_stencil.py); this rolled-read
+        XLA path is the oracle and the CPU/small-lattice fallback."""
         from deflatedmlmc_schwinger_tpu.ops import cplx
+        from deflatedmlmc_schwinger_tpu.ops import pallas_stencil
 
         nx, nt = self.nx, self.nt
+        if pallas_stencil.pallas_available(nx, nt):
+            import jax
+
+            return pallas_stencil.stencil_matvec_pallas(
+                self.coeffs, v, nx, nt, interpret=jax.default_backend() != "tpu"
+            )
         batch = v.re.shape[:-1]
         gr = v.re.reshape(batch + (2, nx, nt))
         gi = v.im.reshape(batch + (2, nx, nt))

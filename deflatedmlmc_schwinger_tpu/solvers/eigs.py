@@ -152,7 +152,12 @@ def _filter_factory(matvec_pair: Callable):
             Tm1, Tm0 = carry
             Ty = y(Tm0)
             Tp = CP(2.0 * Ty.re - Tm1.re, 2.0 * Ty.im - Tm1.im)
-            return (Tm0, Tp)
+            # Per-column rescale of BOTH carries (the recurrence is linear
+            # and column-independent, so this preserves directions) -- the
+            # unnormalized T_k grows like e^{deg} outside [a,b] and
+            # overflows float32 at the production degrees (TPU path).
+            s = 1.0 / jnp.maximum(jnp.sqrt(cplx.norm2(Tp, axis=-1)), 1e-30)[..., None]
+            return (cplx.scale_real(Tm0, s), cplx.scale_real(Tp, s))
 
         _, Tk = lax.fori_loop(0, deg - 1, body, (T0, T1))
         nrm = jnp.sqrt(cplx.norm2(Tk, axis=-1))[..., None]
