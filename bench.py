@@ -22,6 +22,10 @@ BASELINE_SOLVES_PER_SEC = 0.096  # BASELINE.md, measured on the reference
 
 
 def main() -> None:
+    from deflatedmlmc_schwinger_tpu.utils import jaxcache
+
+    jaxcache.enable()
+
     import jax
     import jax.numpy as jnp
 
@@ -59,7 +63,10 @@ def main() -> None:
     print(f"# setup: {setup_s:.1f}s  sizes={hier.sizes()}", file=sys.stderr)
 
     B = 16
-    tol = 1e-6  # certifiable floor for complex64; trace tol needs only 1e-2
+    # attainable complex64 residual is eps*kappa ~ 1e-4 for this operator
+    # (measured stall at 3.3e-4 with 10 restarts); the trace needs only 1e-2,
+    # so 3e-4 is the honest f32 solve target -- tighter only burns restarts
+    tol = 3e-4
     probes = make_probe_source("jax", 7)
     d = hier.levels[0].perm_shift
 

@@ -69,6 +69,63 @@ def set_params(example_name: str) -> TraceConfig:
             x_displacement=2,
             seed=51234,
         )
+    elif example_name == "schwinger256":
+        # scale-out config (BASELINE.json #4): generated quenched 256^2 gauge
+        # configuration, 3-level hierarchy, batched probe solves on one host
+        return TraceConfig(
+            matrix="generated:256x256:beta=5.0:seed=8",
+            problem_name="schwinger",
+            mass=-0.10,
+            latt_dims=(256, 256),
+            trace_tol=1.0e-2,
+            aggrs=(8 * 8, 4 * 4),
+            dof=(2, 8, 8),
+            max_nr_levels=3,
+            coarsest_level_directly=True,
+            accuracy_mg_eigvs="low",
+            test_vectors_type="RSVs",
+            mlmc_levels_to_skip=(),
+            nr_deflat_vctrs=8,
+            mlmc_deflat_vctrs=(0, 0),
+            defl_type="exact",
+            defl_eigvs_tol_Hutch=1.0e-9,
+            defl_eigvs_tol_MLMC=1.0e-1,
+            diff_lev_op_tol=1.0e-3,
+            use_permuted=False,
+            x_displacement=0,
+            check_quality_MG=False,
+            seed=51234,
+            probe_batch=16,
+        )
+    elif example_name == "schwinger512":
+        # scale-out config (BASELINE.json #5): 512^2 lattice, Hutchinson
+        # probes sharded over the 'samples' mesh axis (all available chips),
+        # deflation basis + hierarchy replicated
+        return TraceConfig(
+            matrix="generated:512x512:beta=5.0:seed=9",
+            problem_name="schwinger",
+            mass=-0.10,
+            latt_dims=(512, 512),
+            trace_tol=1.0e-2,
+            aggrs=(8 * 8, 4 * 4, 2 * 2),
+            dof=(2, 8, 8, 8),
+            max_nr_levels=4,
+            coarsest_level_directly=True,
+            accuracy_mg_eigvs="low",
+            test_vectors_type="RSVs",
+            mlmc_levels_to_skip=(),
+            nr_deflat_vctrs=8,
+            mlmc_deflat_vctrs=(0, 0, 0),
+            defl_type="exact",
+            defl_eigvs_tol_Hutch=1.0e-9,
+            defl_eigvs_tol_MLMC=1.0e-1,
+            diff_lev_op_tol=1.0e-3,
+            use_permuted=False,
+            x_displacement=0,
+            check_quality_MG=False,
+            seed=51234,
+            probe_batch=16,
+        )
     raise Exception("Non-existent option for example type.")
 
 
@@ -94,3 +151,32 @@ def G202():
     """Deflated MLMC, Schwinger 128^2 (reference: gateway.py:52-59)."""
     cfg = set_params("schwinger128").replace(function_tol=1e-12)
     return EXAMPLE_002(cfg)
+
+
+def G301():
+    """Deflated Hutchinson on a generated 256^2 quenched config, one host
+    (scale-out beyond the reference; BASELINE.json config #4)."""
+    cfg = set_params("schwinger256").replace(function_tol=1e-12)
+    return EXAMPLE_001(cfg)
+
+
+def G302():
+    """Deflated Hutchinson on a generated 512^2 quenched config with probe
+    batches sharded over all available chips (BASELINE.json config #5)."""
+    from deflatedmlmc_schwinger_tpu.io import load_operator
+    from deflatedmlmc_schwinger_tpu.parallel import initialize, make_mesh
+    from deflatedmlmc_schwinger_tpu.reporting import print_post_results, result_to_json
+    from deflatedmlmc_schwinger_tpu.trace import hutchinson
+
+    initialize()
+    cfg = set_params("schwinger512").replace(function_tol=1e-12)
+    mesh = make_mesh()  # all devices on the 'samples' axis
+    nshards = mesh.shape[cfg.sample_axis]
+    if cfg.probe_batch % nshards:
+        cfg = cfg.replace(probe_batch=nshards * max(1, cfg.probe_batch // nshards))
+    op, _ = load_operator(cfg.matrix, cfg.mass, latt_dims=cfg.latt_dims,
+                          dtype=cfg.complex_dtype())
+    result = hutchinson(op, cfg, mesh=mesh)
+    print_post_results(cfg, result, "hutchinson")
+    print(result_to_json(cfg, result, "hutchinson"))
+    return result

@@ -69,13 +69,44 @@ def infer_latt_dims(n: int) -> Tuple[int, int]:
     return (L, L)
 
 
+def parse_generated_name(matrix_name: str):
+    """Parse 'generated:<nx>x<nt>[:beta=<b>][:seed=<s>]' spec strings (the
+    scale-out configs beyond the two shipped .mat files, BASELINE.json 4-5)."""
+    if not matrix_name.startswith("generated:"):
+        return None
+    parts = matrix_name.split(":")
+    nx, nt = (int(v) for v in parts[1].split("x"))
+    beta, seed = 5.0, 0
+    for p in parts[2:]:
+        k, v = p.split("=")
+        if k == "beta":
+            beta = float(v)
+        elif k == "seed":
+            seed = int(v)
+        else:
+            raise ValueError(f"unknown generated-matrix option {k!r}")
+    return nx, nt, beta, seed
+
+
 def load_operator(
     matrix_name: str,
     mass: float,
     latt_dims: Optional[Tuple[int, int]] = None,
     dtype=None,
-) -> Tuple[StencilOperator, sp.csr_matrix]:
-    """Load the Dirac operator as a device StencilOperator (+ the CSR oracle)."""
+) -> Tuple[StencilOperator, Optional[sp.csr_matrix]]:
+    """Load the Dirac operator as a device StencilOperator (+ the CSR oracle).
+
+    ``matrix_name`` is a .mat file (reference parity) or a
+    'generated:<nx>x<nt>:beta=<b>:seed=<s>' spec sampled from the exact
+    quenched 2D U(1) ensemble (io/gauge.py); generated operators return None
+    for the CSR oracle."""
+    gen = parse_generated_name(matrix_name)
+    if gen is not None:
+        from deflatedmlmc_schwinger_tpu.io.gauge import generate_operator
+
+        nx, nt, beta, seed = gen
+        op = generate_operator(nx, nt, mass, beta=beta, seed=seed, dtype=dtype)
+        return op, None
     A = load_matrix(matrix_name, mass)
     if latt_dims is None:
         latt_dims = infer_latt_dims(A.shape[0])

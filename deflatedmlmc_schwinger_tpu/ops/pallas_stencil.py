@@ -38,8 +38,13 @@ from deflatedmlmc_schwinger_tpu.ops.cplx import CP
 TAPS: Tuple[Tuple[int, int], ...] = ((0, 0), (0, 1), (0, -1), (1, 0), (-1, 0))
 
 # Per-probe-block VMEM budget (bytes) for picking the batch block size; the
-# coefficient tensor (full) rides along on top of this.
-_VMEM_BUDGET = 8 * 1024 * 1024
+# coefficient tensor (full) rides along on top of this. Mosaic's live set is
+# several times the in+out block (double-buffered operands plus the
+# shifted-read temporaries and the stacked output), so the kernel declares
+# its own vmem_limit_bytes (v5e has 128 MB VMEM; the default scoped limit of
+# 16 MB rejects production batches: measured 18.5-22 MB peaks at bb=8..16).
+_VMEM_BUDGET = 4 * 1024 * 1024
+_VMEM_LIMIT = 96 * 1024 * 1024
 
 
 def _shift(x: jnp.ndarray, d: int, axis: int) -> jnp.ndarray:
@@ -112,6 +117,9 @@ def _stencil_pallas_call(coeffs: CP, v: CP, nx: int, nt: int, interpret: bool) -
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_acc, transcendentals=0
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT
         ),
         interpret=interpret,
     )(coeffs.re, coeffs.im, v.re, v.im)

@@ -5,6 +5,10 @@ Usage: python main.py [G101|G201|G102|G202]   (default: G202)
 
 import sys
 
+from deflatedmlmc_schwinger_tpu.utils import jaxcache
+
+jaxcache.enable()
+
 from deflatedmlmc_schwinger_tpu import gateway
 
 if __name__ == "__main__":

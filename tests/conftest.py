@@ -19,6 +19,10 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+from deflatedmlmc_schwinger_tpu.utils import jaxcache
+
+jaxcache.enable()
+
 import numpy as np
 import pytest
 import scipy.sparse as sp

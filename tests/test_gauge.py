@@ -57,3 +57,51 @@ def test_beta_controls_roughness():
     sm = np.std(np.diff(thx_smooth, axis=1))
     rg = np.std(np.diff(thx_rough, axis=1))
     assert sm < 0.3 < rg
+
+
+def test_generated_name_loading_end_to_end():
+    """'generated:NxT:...' specs load through io.load_operator and run the
+    full deflated-Hutchinson pipeline; estimate checked against the dense
+    exact trace (the generated-config analog of the 16^2 oracle test)."""
+    import jax.numpy as jnp
+
+    from deflatedmlmc_schwinger_tpu.config import TraceConfig
+    from deflatedmlmc_schwinger_tpu.io import load_operator
+    from deflatedmlmc_schwinger_tpu.io.matio import parse_generated_name
+    from deflatedmlmc_schwinger_tpu.trace import hutchinson
+
+    assert parse_generated_name("generated:32x16:beta=3.5:seed=2") == (32, 16, 3.5, 2)
+    assert parse_generated_name("schwinger16.mat") is None
+
+    cfg = TraceConfig(
+        matrix="generated:16x16:beta=4.0:seed=7",
+        mass=-0.30,
+        latt_dims=(16, 16),
+        trace_tol=5.0e-2,
+        max_nr_levels=3,
+        aggrs=(2 * 2, 2 * 2),
+        dof=(2, 4, 4),
+        accuracy_mg_eigvs="low",
+        test_vectors_type="RSVs",
+        use_permuted=False,
+        x_displacement=0,
+        nr_deflat_vctrs=16,
+        chebyshev_degree=16,
+        subspace_iters=3,
+        probe_batch=16,
+        dtype=jnp.complex128,
+    )
+    op, oracle = load_operator(cfg.matrix, cfg.mass, latt_dims=cfg.latt_dims)
+    assert oracle is None and op.n == 512
+
+    from deflatedmlmc_schwinger_tpu.io.stencil import csr_from_stencil
+    import numpy as np
+
+    A = csr_from_stencil(np.asarray(op.coeffs)).todense()
+    exact = complex(np.trace(np.linalg.inv(A)))
+
+    result = hutchinson(op, cfg, verbose=False)
+    err = abs(result["trace"] - exact)
+    # statistical agreement: within 5 standard errors of the stopping target
+    assert err < 5 * max(result["std_dev"] / np.sqrt(result["nr_ests"]),
+                         abs(cfg.trace_tol * exact))
