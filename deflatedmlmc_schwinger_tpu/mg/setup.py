@@ -31,10 +31,10 @@ import numpy as np
 from deflatedmlmc_schwinger_tpu.config import TraceConfig
 from deflatedmlmc_schwinger_tpu.mg.hierarchy import (
     BlockProlongator,
+    BlockStencilOperator,
     DenseOperator,
     Hierarchy,
     MGLevel,
-    block_stencil_from_dense,
 )
 from deflatedmlmc_schwinger_tpu.ops import cplx
 from deflatedmlmc_schwinger_tpu.ops.cplx import CP
@@ -76,34 +76,114 @@ def build_P_blocks(tv: np.ndarray, L: int, phase_period: int, rdtype) -> BlockPr
     )
 
 
-def galerkin_coarse(op, P: BlockProlongator, rdtype) -> np.ndarray:
-    """Host complex coarse operator C = P^H A P via dc batched applications.
+import functools
 
-    Columns are processed in within-aggregate-index groups: for fixed c the
-    basis vectors {P e_{(j,c)}}_j have disjoint support, so one (na, n) pair
-    batch matvec produces a full column stripe of C.
-    """
+import jax
+
+
+@jax.jit
+def _galerkin_stripe(op, P: BlockProlongator, c) -> CP:
+    """One within-aggregate column group of C = P^H A P: the basis vectors
+    {P e_{(j,c)}}_j have disjoint support, so one (na, n) pair batch matvec
+    produces a full column stripe. Returns RY (na, nc) with
+    RY[j_col, j_row*dc + c_row] = C[j_row*dc + c_row, j_col*dc + c]."""
     na, L, dc = P.blocks.re.shape
     n = na * L
-    nc = na * dc
-    C = np.zeros((nc, nc), dtype=np.complex128)
-    ar = jnp.arange(na)
-    for c in range(dc):
-        Xr = jnp.zeros((na, na, L), rdtype).at[ar, ar, :].set(P.blocks.re[:, :, c])
-        Xi = jnp.zeros((na, na, L), rdtype).at[ar, ar, :].set(P.blocks.im[:, :, c])
-        X = CP(Xr.reshape(na, n), Xi.reshape(na, n))
-        Y = op.matvec(X)                 # (na, n) pair
-        RY = P.apply_adjoint(Y)          # (na, nc) ; row j = C[:, j*dc+c]
-        C[:, c::dc] = cplx.to_complex(RY).T
-    return C
+    ar = jnp.arange(na)[:, None]
+    cols = jnp.arange(L)[None, :] + ar * L          # (na, L) flat support of agg j
+    bc = jax.lax.dynamic_slice_in_dim(P.blocks.re, c, 1, axis=2)[:, :, 0]
+    bs = jax.lax.dynamic_slice_in_dim(P.blocks.im, c, 1, axis=2)[:, :, 0]
+    Xr = jnp.zeros((na, n), bc.dtype).at[ar, cols].set(bc)
+    Xi = jnp.zeros((na, n), bs.dtype).at[ar, cols].set(bs)
+    Y = op.matvec(CP(Xr, Xi))                        # (na, n) pair
+    return P.apply_adjoint(Y)                        # (na, nc)
+
+
+def _galerkin_stack(op, P: BlockProlongator) -> CP:
+    """Device stack S (dc, na, nc) of all column stripes of C = P^H A P."""
+    na, L, dc = P.blocks.re.shape
+    stripes = [_galerkin_stripe(op, P, jnp.int32(c)) for c in range(dc)]
+    return CP(
+        jnp.stack([s.re for s in stripes]), jnp.stack([s.im for s in stripes])
+    )
+
+
+@jax.jit
+def _block_norms(S: CP) -> jnp.ndarray:
+    """Frobenius norm of each (dc, dc) block of C from the stripe stack:
+    norms[j_row, j_col]."""
+    dc, na, nc = S.re.shape
+    T = S.reshape((dc, na, na, dc))          # [c_col, j_col, j_row, c_row]
+    return jnp.sqrt(jnp.sum(T.re**2 + T.im**2, axis=(0, 3))).T
+
+
+@functools.partial(jax.jit, static_argnames=("offsets",))
+def _gather_blocks(S: CP, offsets: tuple) -> CP:
+    """blocks[j, k] = C block (j, (j+offsets[k]) % na) from the stripe stack;
+    returns (na, K, dc, dc) -- the BlockStencilOperator payload."""
+    dc, na, nc = S.re.shape
+    T = S.reshape((dc, na, na, dc))
+    # -> [j_col, j_row, c_row, c_col]
+    Tp = CP(jnp.transpose(T.re, (1, 2, 3, 0)), jnp.transpose(T.im, (1, 2, 3, 0)))
+    rows = jnp.arange(na)
+    outs = []
+    for off in offsets:
+        idx = (rows + off) % na
+        outs.append(CP(Tp.re[idx, rows], Tp.im[idx, rows]))  # (na, dc, dc)
+    return CP(
+        jnp.stack([o.re for o in outs], axis=1),
+        jnp.stack([o.im for o in outs], axis=1),
+    )
+
+
+def _dense_from_stack(S: CP) -> np.ndarray:
+    """Host complex (nc, nc) coarse matrix from the stripe stack."""
+    dc, na, nc = S.re.shape
+    T = cplx.to_complex(S).reshape(dc, na, na, dc)   # [c_col, j_col, j_row, c_row]
+    return T.transpose(2, 3, 1, 0).reshape(nc, nc)
+
+
+def galerkin_coarse(op, P: BlockProlongator, rdtype) -> np.ndarray:
+    """Host complex coarse operator C = P^H A P (dense pull; used for the
+    coarsest level and as the block-structure fallback)."""
+    return _dense_from_stack(_galerkin_stack(op, P))
+
+
+def galerkin_block_stencil(
+    op, P: BlockProlongator, rdtype, max_offsets: int = 48
+) -> Optional[BlockStencilOperator]:
+    """Coarse operator C = P^H A P directly as a cyclic block stencil,
+    computed and sparsity-detected on device.
+
+    Only the (na, na) block-norm map and the ~K nonzero (dc, dc) blocks ever
+    cross the host link -- the dense (nc, nc) pull this replaces dominated
+    MG setup on tunneled TPUs (measured 141 s for the 128^2 fine level).
+    Returns None when the coupling pattern is not small-cyclic.
+    """
+    na, L, dc2 = P.blocks.re.shape
+    S = _galerkin_stack(op, P)
+    norms = np.asarray(_block_norms(S))              # (na, na) host, small
+    scale = float(norms.max())
+    j1, j2 = np.nonzero(norms > 1e-12 * max(scale, 1e-30))
+    offsets = tuple(sorted({int((b - a) % na) for a, b in zip(j1, j2)}))
+    if len(offsets) > max_offsets:
+        return None
+    blocks = _gather_blocks(S, offsets)
+    return BlockStencilOperator(blocks=blocks, offsets=offsets)
 
 
 def _test_vectors(op, k: int, cfg: TraceConfig, seed: int, tol: float) -> np.ndarray:
     """Near-kernel test vectors of the level pair operator (reference modes
     'EVs' | 'LSVs' | 'RSVs', multigrid.py:159-188). Returns host (n, k)."""
+    import jax
+
     mode = cfg.test_vectors_type
     rdtype = op.dtype
-    mvQ = lambda v: gamma3_pair(op.matvec(v))
+    # jitted closures: eigensolver phases apply these EAGERLY (power bound,
+    # Ritz residuals); unjitted, every roll/einsum in the operator is a
+    # separate dispatch -- measured 133 s/level over a tunneled TPU link
+    mvA = jax.jit(op.matvec)
+    mvQ = jax.jit(lambda v: gamma3_pair(op.matvec(v)))
     if mode in ("RSVs", "LSVs"):
         res = chebyshev_filtered_smallest(
             mvQ, op.n, k, rdtype=rdtype, seed=seed,
@@ -116,7 +196,7 @@ def _test_vectors(op, k: int, cfg: TraceConfig, seed: int, tol: float) -> np.nda
         return V
     elif mode == "EVs":
         _, V = smallest_eigpairs_nonhermitian(
-            op.matvec, mvQ, op.n, k, rdtype=rdtype, seed=seed,
+            mvA, mvQ, op.n, k, rdtype=rdtype, seed=seed,
             degree=cfg.chebyshev_degree, rounds=cfg.subspace_iters,
         )
         return V
@@ -155,24 +235,25 @@ def setup_hierarchy(
         k = dof[i + 1] // 2
         tv = _test_vectors(cur_op, k, cfg, cfg.seed + 977 * i, eig_tol)
         P = build_P_blocks(tv, L, phase_period, rdtype)
-        C = galerkin_coarse(cur_op, P, rdtype)
         levels.append(MGLevel(op=cur_op, P=P, perm_shift=perm_shift))
         # coarse-level shift (reference: multigrid.py:321-326)
         perm_shift = (perm_shift // L) * dof[i + 1] if cfg.use_permuted else 0
         is_coarsest = i + 1 == max_levels - 1
-        cur_op = None
+        prev_op, cur_op = cur_op, None
         if not is_coarsest and cfg.coarse_format == "auto":
-            dc = 2 * (dof[i + 1] // 2)
-            cur_op = block_stencil_from_dense(C, dc, rdtype)
+            # device-side Galerkin + sparsity detection: only the nonzero
+            # blocks cross the host link (tunneled-TPU setup bottleneck)
+            cur_op = galerkin_block_stencil(prev_op, P, rdtype)
         if cur_op is None:
+            C = galerkin_coarse(prev_op, P, rdtype)
             cur_op = DenseOperator(
                 mat=CP(
                     jnp.asarray(C.real.astype(np.dtype(rdtype))),
                     jnp.asarray(C.imag.astype(np.dtype(rdtype))),
                 )
             )
-        if is_coarsest:
-            coarsest_dense = C
+            if is_coarsest:
+                coarsest_dense = C
 
     levels.append(MGLevel(op=cur_op, P=None, perm_shift=perm_shift))
     Cinv = np.linalg.inv(coarsest_dense)

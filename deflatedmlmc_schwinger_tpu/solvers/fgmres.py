@@ -83,8 +83,16 @@ def _fgmres_impl(matvec, precond, b: CP, x0: CP, tol_abs, restart, max_restarts)
     rdtype = b.re.dtype
     eps = jnp.finfo(rdtype).tiny
 
+    # A restart cycle that fails to cut the worst active residual by this
+    # factor means the attainable (finite-precision) floor was hit: further
+    # restarts only burn V-cycles. Measured on TPU f32: solves below the
+    # eps*kappa floor otherwise spend max_restarts at ~3e-4 forever. The
+    # ratio must admit slow-but-real convergence (~2x/cycle was observed on
+    # 128^2 near the floor), so only near-zero progress counts as a stall.
+    stall_ratio = 0.9
+
     def cycle_body(state):
-        x, resnorm, iters, cycles = state
+        x, resnorm, prev, iters, cycles = state
         r = b - matvec(x)
         beta = cplx.norm(r)
         V = cplx.czeros((m + 1, B, n), rdtype)
@@ -177,15 +185,24 @@ def _fgmres_impl(matvec, precond, b: CP, x0: CP, tol_abs, restart, max_restarts)
 
         y = lax.fori_loop(0, m, back_sub, cplx.czeros((B, m), rdtype))
         x = x + cplx.einsum2("jbn,bj->bn", Z, y)
-        return (x, res, iters, cycles + 1)
+        return (x, res, resnorm, iters, cycles + 1)
 
     def cycle_cond(state):
-        x, resnorm, iters, cycles = state
-        return jnp.logical_and(cycles < max_restarts, jnp.any(resnorm > tol_abs))
+        x, resnorm, prev, iters, cycles = state
+        unconverged = jnp.any(resnorm > tol_abs)
+        # progress check on the still-active rows only (already-converged
+        # rows must not count as progress: their prev is zeroed out)
+        active_prev = jnp.where(prev > tol_abs, prev, 0.0)
+        progressing = jnp.any(resnorm < stall_ratio * active_prev)
+        progressing = jnp.logical_or(cycles == 0, progressing)
+        return jnp.logical_and(
+            cycles < max_restarts, jnp.logical_and(unconverged, progressing)
+        )
 
     x0_res = cplx.norm(b - matvec(x0))
-    state = (x0, x0_res, jnp.zeros((B,), jnp.int32), jnp.int32(0))
-    x, _, iters, cycles = lax.while_loop(cycle_cond, cycle_body, state)
+    state = (x0, x0_res, jnp.full_like(x0_res, jnp.inf),
+             jnp.zeros((B,), jnp.int32), jnp.int32(0))
+    x, _, _, iters, cycles = lax.while_loop(cycle_cond, cycle_body, state)
     final_res = cplx.norm(b - matvec(x))
     return x, final_res, iters, cycles
 

@@ -72,8 +72,11 @@ def hutchinson_deflation(
     k = int(cfg.nr_deflat_vctrs)
     if k == 0:
         return Deflation(U=None, tr1=0.0 + 0.0j)
+    import jax
+
     rdtype = op.dtype
-    mvQ = lambda v: gamma3_pair(op.matvec(v))
+    # jitted: Ritz residual checks apply this eagerly (see mg/setup.py)
+    mvQ = jax.jit(lambda v: gamma3_pair(op.matvec(v)))
     solve_tol = cfg.solver.effective_tol(
         cfg.defl_eigvs_tol_Hutch, cplx.complex_dtype(rdtype)
     )

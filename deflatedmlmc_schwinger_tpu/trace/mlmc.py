@@ -159,12 +159,27 @@ def mlmc(
     timer: Optional[PhaseTimer] = None,
     verbose: bool = True,
     mesh=None,
+    checkpoint_dir: Optional[str] = None,
 ) -> Dict:
-    """Compute tr(A^{-1}) (or tr(A^{-1} Pi)) by deflated MG-MLMC."""
+    """Compute tr(A^{-1}) (or tr(A^{-1} Pi)) by deflated MG-MLMC.
+
+    ``checkpoint_dir``: if set, the hierarchy is cached there and the
+    per-difference-level sampling state (moments + next sample index)
+    persists after every batch; an interrupted run resumes each level on the
+    exact same counter-keyed probe stream (utils/checkpoint.py)."""
+    import os
+
     timer = timer or PhaseTimer()
     log = print if verbose else (lambda *a, **k: None)
     if isinstance(op, StencilOperator):
         op = pair_operator(op)
+
+    hier_ckpt = None
+    state_ckpt = None
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        hier_ckpt = os.path.join(checkpoint_dir, "hierarchy.npz")
+        state_ckpt = os.path.join(checkpoint_dir, "mlmc_state.json")
 
     # ---- skip-level validation (stoch_trace.py:199-206) ----
     skips = list(cfg.mlmc_levels_to_skip)
@@ -178,7 +193,17 @@ def mlmc(
     if solver is None:
         with timer.phase("mg_setup"):
             if hier is None:
-                hier = setup_hierarchy(op, cfg)
+                if hier_ckpt and os.path.exists(hier_ckpt):
+                    from deflatedmlmc_schwinger_tpu.utils.checkpoint import load_hierarchy
+
+                    hier = load_hierarchy(hier_ckpt, op.dtype)
+                    log(f"resumed hierarchy from {hier_ckpt}")
+                else:
+                    hier = setup_hierarchy(op, cfg)
+                    if hier_ckpt:
+                        from deflatedmlmc_schwinger_tpu.utils.checkpoint import save_hierarchy
+
+                        save_hierarchy(hier, hier_ckpt)
             solver = MGSolver(hier, cfg.solver)
     else:
         hier = solver.hier
@@ -218,7 +243,10 @@ def mlmc(
         solver.coarsest_lev_iters[i] = 0
 
     # ---- difference-level sampling loops (stoch_trace.py:348-416) ----
+    from deflatedmlmc_schwinger_tpu.utils.checkpoint import EstimatorState
+
     B = int(cfg.probe_batch)
+    state = EstimatorState.load_or_empty(state_ckpt)
     if mesh is not None:
         from deflatedmlmc_schwinger_tpu.parallel import shard_batch
     with timer.phase("sampling"):
@@ -228,10 +256,15 @@ def mlmc(
             tol_fctr = _level_tol_factor(i, nr_levels, f0, f1, skip_level)
             level_trace_tol = abs(cfg.trace_tol * rough_trace * tol_fctr)
             probes = make_probe_source(probe_source, cfg.seed + i)
-            moments = RunningMoments()
+            key = f"level{i}"
+            moments = state.moments.get(key, RunningMoments())
+            start = state.next_index.get(key, 0)
+            if start:
+                log(f"level {i}: resuming at sample {start} (n={moments.count})")
             n_i = hier.levels[i].n
-            start = 0
             while start < cfg.max_nr_ests:
+                if should_stop(moments, level_trace_tol, cfg.min_nr_ests):
+                    break
                 X = probes(start, B, n_i, hier.levels[i].op.dtype)
                 if mesh is not None:
                     X = shard_batch(X, mesh, cfg.sample_axis)
@@ -242,8 +275,10 @@ def mlmc(
                 results[i]["function_iters"] += int(np.sum(it1))
                 results[coarse]["function_iters"] += int(np.sum(it2))
                 start += B
-                if should_stop(moments, level_trace_tol, cfg.min_nr_ests):
-                    break
+                if state_ckpt:
+                    state.moments[key] = moments
+                    state.next_index[key] = start
+                    state.save(state_ckpt)
             results[i]["nr_ests"] += moments.count
             results[i]["ests_avg"] = moments.mean + defls[i].tr1
             results[i]["ests_dev"] = moments.std_dev

@@ -88,3 +88,31 @@ def test_resume_continues_same_stream(tmp_path, op16):
     r3 = hutchinson(op, cfg, solver=solver, verbose=False)
     assert r2["nr_ests"] == r3["nr_ests"] == 8
     assert abs(r2["trace"] - r3["trace"]) < 1e-8
+
+
+def test_mlmc_resume_continues_same_stream(tmp_path, op16):
+    """MLMC per-level sampling state resumes on the same probe stream."""
+    from deflatedmlmc_schwinger_tpu.config import TraceConfig
+    from deflatedmlmc_schwinger_tpu.mg import MGSolver, setup_hierarchy
+    from deflatedmlmc_schwinger_tpu.trace import mlmc
+
+    op, A = op16
+    cfg = TraceConfig(
+        matrix="schwinger16.mat", mass=-1.00690114 * 0.99, latt_dims=(16, 16),
+        max_nr_levels=3, aggrs=(4, 4), dof=(2, 4, 4), accuracy_mg_eigvs="low",
+        test_vectors_type="RSVs", use_permuted=False, trace_tol=1e-2,
+        nr_deflat_vctrs=0, mlmc_deflat_vctrs=(0, 0), mlmc_levels_to_skip=(),
+        chebyshev_degree=10, subspace_iters=2,
+        probe_batch=4, max_nr_ests=8, min_nr_ests=6,
+    )
+    hier = setup_hierarchy(op, cfg)
+    solver = MGSolver(hier, cfg.solver)
+    ck = str(tmp_path / "ck")
+    r1 = mlmc(op, cfg.replace(max_nr_ests=4), solver=solver, verbose=False,
+              checkpoint_dir=ck)
+    assert r1["results"][0]["nr_ests"] == 4
+    r2 = mlmc(op, cfg, solver=solver, verbose=False, checkpoint_dir=ck)
+    r3 = mlmc(op, cfg, solver=solver, verbose=False)
+    for lev in range(2):
+        assert (r2["results"][lev]["nr_ests"] == r3["results"][lev]["nr_ests"])
+    assert abs(r2["trace"] - r3["trace"]) < 1e-8

@@ -70,3 +70,22 @@ def test_zero_rhs():
     b = cplx.from_complex(np.zeros((2, n), complex))
     res = fgmres(dense_pair_matvec(np.eye(n)), b, tol=1e-10)
     assert np.allclose(cplx.to_complex(res.x), 0.0)
+
+
+def test_stagnation_stops_restarts():
+    """A tol below the attainable floor must not burn max_restarts: the
+    restart loop stops when a full cycle stops improving active rows."""
+    import numpy as np
+    from deflatedmlmc_schwinger_tpu.ops import cplx
+    from deflatedmlmc_schwinger_tpu.solvers.fgmres import fgmres
+
+    rng = np.random.default_rng(2)
+    n = 48
+    A = np.eye(n) + 0.1 * rng.standard_normal((n, n))
+    # singular operator: exact solve impossible to 1e-30
+    A[:, 0] = A[:, 1]
+    Ap = cplx.from_complex(A + 0j)
+    b = cplx.from_complex(rng.standard_normal((2, n)) + 0j)
+    res = fgmres(lambda v: cplx.matmul_right(v, Ap), b, tol=1e-30,
+                 restart=8, max_restarts=50)
+    assert int(res.cycles) < 50
