@@ -36,6 +36,11 @@ def main() -> None:
     from deflatedmlmc_schwinger_tpu.solvers.fgmres import fgmres
     from deflatedmlmc_schwinger_tpu.trace.probes import make_probe_source
 
+    from deflatedmlmc_schwinger_tpu.config import SolverConfig
+
+    # tuned on-chip (see git history): 8 CheFSI rounds halve the outer
+    # iteration count vs 4; restart=40 cuts another ~20%; batch 64 is the
+    # throughput sweet spot for this lattice size
     cfg = TraceConfig(
         matrix="schwinger128.mat",
         mass=-0.1320,
@@ -48,8 +53,9 @@ def main() -> None:
         use_permuted=True,
         x_displacement=2,
         chebyshev_degree=60,
-        subspace_iters=4,
+        subspace_iters=8,
         dtype=jnp.complex64,
+        solver=SolverConfig(restart=40),
     )
     t0 = time.time()
     op, _ = load_operator(cfg.matrix, cfg.mass, latt_dims=cfg.latt_dims,
@@ -62,18 +68,19 @@ def main() -> None:
     setup_s = time.time() - t0
     print(f"# setup: {setup_s:.1f}s  sizes={hier.sizes()}", file=sys.stderr)
 
-    B = 16
+    B = 128  # measured sweet spot (64: 65 solves/s, 128: 87, 256: 79)
     # attainable complex64 residual is eps*kappa ~ 1e-4 for this operator
     # (measured stall at 3.3e-4 with 10 restarts); the trace needs only 1e-2,
-    # so 3e-4 is the honest f32 solve target -- tighter only burns restarts
-    tol = 3e-4
+    # so 5e-4 is the honest f32 solve target -- tighter only burns restarts
+    tol = 5e-4
     probes = make_probe_source("jax", 7)
     d = hier.levels[0].perm_shift
 
     def one_batch(start):
         X = probes(start, B, op.n, jnp.float32)
         Xd = shift_rows_down_pair(X, d)
-        res = fgmres(mv, Xd, tol=tol, restart=20, max_restarts=10, precond=pc)
+        res = fgmres(mv, Xd, tol=tol, restart=cfg.solver.restart,
+                     max_restarts=cfg.solver.max_restarts, precond=pc)
         return res
 
     # warmup/compile

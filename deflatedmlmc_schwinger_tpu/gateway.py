@@ -11,7 +11,7 @@ BASELINE.md.
 
 from __future__ import annotations
 
-from deflatedmlmc_schwinger_tpu.config import TraceConfig
+from deflatedmlmc_schwinger_tpu.config import SolverConfig, TraceConfig
 from deflatedmlmc_schwinger_tpu.examples import EXAMPLE_001, EXAMPLE_002
 
 
@@ -68,6 +68,10 @@ def set_params(example_name: str) -> TraceConfig:
             use_permuted=True,
             x_displacement=2,
             seed=51234,
+            # TPU throughput knobs (measured on-chip: restart 40 + batch 128
+            # is the 128^2 sweet spot, ~910x the reference's probe rate)
+            probe_batch=128,
+            solver=SolverConfig(restart=40),
         )
     elif example_name == "schwinger256":
         # scale-out config (BASELINE.json #4): generated quenched 256^2 gauge

@@ -135,3 +135,31 @@ def test_block_stencil_coarse_matches_dense(op16):
     x = rng.standard_normal((3, op1.n)) + 1j * rng.standard_normal((3, op1.n))
     y = cplx.to_complex(op1.matvec(cplx.from_complex(x)))
     np.testing.assert_allclose(y, x @ Cd.T, atol=1e-10)
+
+
+def test_galerkin_block_stencil_matches_dense(op16):
+    """Device-side block-sparse Galerkin == dense host Galerkin."""
+    import jax.numpy as jnp
+    from deflatedmlmc_schwinger_tpu.config import TraceConfig
+    from deflatedmlmc_schwinger_tpu.mg.setup import (
+        _test_vectors,
+        build_P_blocks,
+        galerkin_block_stencil,
+        galerkin_coarse,
+    )
+    from deflatedmlmc_schwinger_tpu.ops.dirac import pair_operator
+
+    op, _ = op16
+    pop = pair_operator(op)
+    cfg = TraceConfig(
+        matrix="schwinger16.mat", mass=-1.00690114 * 0.99, latt_dims=(16, 16),
+        max_nr_levels=3, aggrs=(4, 4), dof=(2, 4, 4), accuracy_mg_eigvs="low",
+        test_vectors_type="RSVs", use_permuted=False,
+        chebyshev_degree=10, subspace_iters=2,
+    )
+    tv = _test_vectors(pop, 2, cfg, 1, 1e-3)
+    P = build_P_blocks(tv, cfg.aggrs[0] * 2, 2, pop.dtype)
+    C = galerkin_coarse(pop, P, pop.dtype)
+    bs = galerkin_block_stencil(pop, P, pop.dtype)
+    assert bs is not None
+    np.testing.assert_allclose(bs.complex_matrix(), C, rtol=1e-12, atol=1e-12)
