@@ -96,11 +96,14 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    from deflatedmlmc_schwinger_tpu.utils.profiling import maybe_trace
+
     reps = 4
     t0 = time.time()
-    for r in range(1, reps + 1):
-        res = one_batch(r * B)
-    jax.block_until_ready(res.x.re)
+    with maybe_trace():  # DMLMC_PROFILE=<dir> captures an XLA trace
+        for r in range(1, reps + 1):
+            res = one_batch(r * B)
+        jax.block_until_ready(res.x.re)
     dt = time.time() - t0
     solves_per_sec = reps * B / dt
     print(

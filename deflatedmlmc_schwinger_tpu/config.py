@@ -15,7 +15,9 @@ import jax.numpy as jnp
 
 def default_complex_dtype():
     """complex128 when x64 is enabled (CPU validation), else complex64 (TPU)."""
-    return jnp.complex128 if jnp.zeros((), jnp.float64).dtype == jnp.float64 else jnp.complex64
+    import jax
+
+    return jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
 
 
 @dataclasses.dataclass

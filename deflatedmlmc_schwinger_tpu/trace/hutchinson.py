@@ -126,9 +126,13 @@ def hutchinson(
     n = op.n
     rdtype = op.dtype
     with timer.phase("rough_trace"):
-        X = rough_probes(0, cfg.nr_rough_iters, n, rdtype)
+        # pad the 5-probe rough batch to the sampling batch size: the XLA
+        # program is then IDENTICAL to the main loop's (one compile total);
+        # only the first nr_rough_iters estimates enter the statistic
+        Br = max(int(cfg.nr_rough_iters), int(cfg.probe_batch))
+        X = rough_probes(0, Br, n, rdtype)
         es, _ = hutchinson_step_batch(op, solver, cfg, defl, X)
-        rough_trace = complex(np.mean(es)) + defl.tr1
+        rough_trace = complex(np.mean(es[: cfg.nr_rough_iters])) + defl.tr1
     rough_trace_tol = abs(cfg.trace_tol * rough_trace)
     log(f"rough trace: {rough_trace:.6f}  target stderr: {rough_trace_tol:.3e}")
 

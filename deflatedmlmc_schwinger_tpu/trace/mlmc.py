@@ -226,9 +226,11 @@ def mlmc(
     with timer.phase("rough_trace"):
         rough_defl = hutchinson_deflation(op, solver, cfg)
         rough_probes = make_probe_source(probe_source, cfg.rough_seed)
-        X = rough_probes(0, cfg.nr_rough_iters, op.n, op.dtype)
+        # padded to the sampling batch shape (see trace/hutchinson.py)
+        Br = max(int(cfg.nr_rough_iters), int(cfg.probe_batch))
+        X = rough_probes(0, Br, op.n, op.dtype)
         es, _ = hutchinson_step_batch(op, solver, cfg, rough_defl, X)
-        rough_trace = complex(np.mean(es)) + rough_defl.tr1
+        rough_trace = complex(np.mean(es[: cfg.nr_rough_iters])) + rough_defl.tr1
     log(f"rough trace: {rough_trace:.6f}")
 
     # ---- output skeleton (stoch_trace.py:308-321) ----
