@@ -55,7 +55,7 @@ def main() -> None:
         chebyshev_degree=60,
         subspace_iters=8,
         dtype=jnp.complex64,
-        solver=SolverConfig(restart=40),
+        solver=SolverConfig(restart=40, smoother="poly"),
     )
     t0 = time.time()
     op, _ = load_operator(cfg.matrix, cfg.mass, latt_dims=cfg.latt_dims,

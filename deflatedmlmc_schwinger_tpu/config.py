@@ -37,6 +37,11 @@ class SolverConfig:
     # iteration count vs the reference's nominal 2, for the same total
     # fine-level matvec work but half the V-cycle/coarse-solve overhead
     smooth_iters: int = 4
+    # 'gmres': adaptive fixed-step GMRES smoothing (reference semantics);
+    # 'poly': fixed GMRES-residual-polynomial smoothing (same matvec count,
+    # ZERO inner products -- ~7x fewer dispatched ops per V-cycle, the
+    # dominant cost on-chip; roots computed once per level at setup)
+    smoother: str = "gmres"
     # Residual tolerance floor; requested tolerances are clipped to
     # max(tol, tol_floor(dtype)). complex64 cannot certify 1e-12 residuals.
     tol_floor_c64: float = 3.0e-7

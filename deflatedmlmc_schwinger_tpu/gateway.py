@@ -71,7 +71,7 @@ def set_params(example_name: str) -> TraceConfig:
             # TPU throughput knobs (measured on-chip: restart 40 + batch 128
             # is the 128^2 sweet spot, ~910x the reference's probe rate)
             probe_batch=128,
-            solver=SolverConfig(restart=40),
+            solver=SolverConfig(restart=40, smoother="poly"),
         )
     elif example_name == "schwinger256":
         # scale-out config (BASELINE.json #4): generated quenched 256^2 gauge

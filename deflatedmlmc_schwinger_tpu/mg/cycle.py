@@ -112,6 +112,53 @@ def gmres_smoother(matvec: Callable, r: CP, iters: int) -> CP:
     return out
 
 
+def gmres_poly_roots(matvec: Callable, n: int, rdtype, m: int, seed: int = 29):
+    """Harmonic Ritz values of a short Arnoldi run -- the roots of the
+    m-step GMRES residual polynomial. Used by the 'poly' smoother: applying
+    prod_k (I - A/theta_k) reproduces one m-step GMRES smoothing application
+    with ZERO inner products (host setup cost: m matvecs, once per level)."""
+    import numpy as np
+
+    from deflatedmlmc_schwinger_tpu.solvers.eigs import _apply_cols
+
+    rng = np.random.default_rng(seed)
+    v = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    V = np.zeros((n, m + 1), dtype=complex)
+    H = np.zeros((m + 1, m), dtype=complex)
+    V[:, 0] = v / np.linalg.norm(v)
+    for j in range(m):
+        w = _apply_cols(matvec, V[:, j : j + 1], rdtype)[:, 0]
+        for i in range(j + 1):
+            H[i, j] = np.vdot(V[:, i], w)
+            w = w - H[i, j] * V[:, i]
+        H[j + 1, j] = np.linalg.norm(w)
+        V[:, j + 1] = w / max(H[j + 1, j].real, 1e-300)
+    Hm = H[:m, :m]
+    f = np.linalg.solve(Hm.conj().T, np.eye(m)[:, -1])
+    theta = np.linalg.eigvals(Hm + (abs(H[m, m - 1]) ** 2) * np.outer(f, np.eye(m)[-1]))
+    # Leja ordering for numerically stable application
+    order = [int(np.argmax(np.abs(theta)))]
+    for _ in range(m - 1):
+        rest = [i for i in range(m) if i not in order]
+        prod = [np.prod([abs(theta[i] - theta[o]) for o in order]) for i in rest]
+        order.append(rest[int(np.argmax(prod))])
+    return theta[order]
+
+
+def poly_smoother(matvec: Callable, r: CP, roots) -> CP:
+    """x = p(A) r with p the fixed GMRES residual-polynomial inverse:
+    x += cur/theta_k ; cur -= A cur/theta_k. No reductions, m matvecs."""
+    x = None
+    cur = r
+    for th in roots:
+        inv = 1.0 / th
+        ir, ii = float(inv.real), float(inv.imag)
+        step = CP(ir * cur.re - ii * cur.im, ir * cur.im + ii * cur.re)
+        x = step if x is None else x + step
+        cur = cur - matvec(step)
+    return x
+
+
 class MGSolver:
     """Multigrid-preconditioned batched solver over a Hierarchy (pair-native).
 
@@ -124,9 +171,20 @@ class MGSolver:
         self.cfg = cfg or SolverConfig()
         self._matvecs: Dict[int, Callable] = {}
         self._preconds: Dict[int, Callable] = {}
+        self._poly_roots: Dict[int, object] = {}
         self.num_iters = 0
         self.coarsest_lev_iters = [0] * hier.nr_levels
         self.total_solve_calls = 0
+
+    def _roots_for(self, level_index: int):
+        if level_index not in self._poly_roots:
+            import jax
+
+            lev = self.hier.levels[level_index]
+            self._poly_roots[level_index] = gmres_poly_roots(
+                jax.jit(lev.op.matvec), lev.n, lev.op.dtype, self.cfg.smooth_iters
+            )
+        return self._poly_roots[level_index]
 
     # -- cached closures ----------------------------------------------------
     def matvec(self, level: int = 0) -> Callable:
@@ -140,20 +198,34 @@ class MGSolver:
             levels = self.hier.levels[level:]
             coarsest_inv = self.hier.coarsest_inv
             smooth_iters = self.cfg.smooth_iters
+            if self.cfg.smoother == "poly":
+                roots = [
+                    self._roots_for(level + i) for i in range(len(levels) - 1)
+                ]
+                smoothers = [
+                    (lambda mv, r, th=th: poly_smoother(mv, r, th))
+                    for th in roots
+                ]
+            else:
+                smoothers = [
+                    (lambda mv, r: gmres_smoother(mv, r, smooth_iters))
+                ] * (len(levels) - 1)
 
             def v_cycle(b: CP) -> CP:
                 bs = [b]
                 xs = []
-                for lev in levels[:-1]:
-                    x = gmres_smoother(lev.op.matvec, bs[-1], smooth_iters)
+                for lev, sm in zip(levels[:-1], smoothers):
+                    x = sm(lev.op.matvec, bs[-1])
                     r = bs[-1] - lev.op.matvec(x)
                     xs.append(x)
                     bs.append(lev.P.apply_adjoint(r))
                 xc = cplx.matmul_right(bs[-1], coarsest_inv)
-                for lev, x, bf in zip(levels[-2::-1], xs[::-1], bs[-2::-1]):
+                for lev, sm, x, bf in zip(
+                    levels[-2::-1], smoothers[::-1], xs[::-1], bs[-2::-1]
+                ):
                     x = x + lev.P.apply(xc)
                     r = bf - lev.op.matvec(x)
-                    x = x + gmres_smoother(lev.op.matvec, r, smooth_iters)
+                    x = x + sm(lev.op.matvec, r)
                     xc = x
                 return xc
 

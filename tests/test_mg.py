@@ -163,3 +163,31 @@ def test_galerkin_block_stencil_matches_dense(op16):
     bs = galerkin_block_stencil(pop, P, pop.dtype)
     assert bs is not None
     np.testing.assert_allclose(bs.complex_matrix(), C, rtol=1e-12, atol=1e-12)
+
+
+def test_poly_smoother_vcycle_converges(op16):
+    """'poly' smoothing (fixed GMRES-polynomial, no reductions) gives a
+    working V-cycle: preconditioned FGMRES converges in a comparable
+    iteration count to the adaptive 'gmres' smoother."""
+    from deflatedmlmc_schwinger_tpu.config import SolverConfig, TraceConfig
+    from deflatedmlmc_schwinger_tpu.mg import MGSolver, setup_hierarchy
+    from deflatedmlmc_schwinger_tpu.ops import cplx
+
+    op, A = op16
+    cfg = TraceConfig(
+        matrix="schwinger16.mat", mass=-1.00690114 * 0.99, latt_dims=(16, 16),
+        max_nr_levels=3, aggrs=(4, 4), dof=(2, 4, 4), accuracy_mg_eigvs="low",
+        test_vectors_type="RSVs", use_permuted=False,
+        chebyshev_degree=10, subspace_iters=2,
+    )
+    hier = setup_hierarchy(op, cfg)
+    rng = np.random.default_rng(1)
+    b = cplx.from_complex(
+        rng.standard_normal((4, op.n)) + 1j * rng.standard_normal((4, op.n))
+    )
+    res_g = MGSolver(hier, SolverConfig(smoother="gmres")).solve(b, 1e-9)
+    res_p = MGSolver(hier, SolverConfig(smoother="poly")).solve(b, 1e-9)
+    assert float(np.max(np.asarray(res_p.resnorm / res_p.bnorm))) < 1e-9
+    it_g = int(np.max(np.asarray(res_g.iters)))
+    it_p = int(np.max(np.asarray(res_p.iters)))
+    assert it_p <= 2 * it_g, (it_p, it_g)
