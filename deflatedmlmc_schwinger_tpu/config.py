@@ -42,8 +42,18 @@ class SolverConfig:
     # ZERO inner products -- ~7x fewer dispatched ops per V-cycle, the
     # dominant cost on-chip; roots computed once per level at setup)
     smoother: str = "gmres"
+    # Stagnation cutoff: stop after ``stall_cycles`` consecutive restart
+    # cycles with no active row improving by >(1 - stall_ratio); None
+    # disables it (exact-parity validation runs). Rows that end above tol
+    # are flagged in FGMRESResult.stalled.
+    stall_ratio: Optional[float] = 0.9
+    stall_cycles: int = 2
     # Residual tolerance floor; requested tolerances are clipped to
     # max(tol, tol_floor(dtype)). complex64 cannot certify 1e-12 residuals.
+    # The trace BIAS introduced by the f32 floor is bounded by
+    # tests/test_bias.py: on 16^2, Hutchinson/MLMC traces computed with
+    # f32-floor solve tolerances agree with the f64 dense oracle to well
+    # under the 1% trace budget (see that test for the measured bound).
     tol_floor_c64: float = 3.0e-7
     tol_floor_c128: float = 1.0e-13
 

@@ -130,7 +130,7 @@ def set_params(example_name: str) -> TraceConfig:
             seed=51234,
             probe_batch=16,
         )
-    raise Exception("Non-existent option for example type.")
+    raise Exception(f"unknown experiment name {example_name!r}")
 
 
 def G101():

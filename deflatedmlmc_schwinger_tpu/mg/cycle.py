@@ -257,12 +257,20 @@ class MGSolver:
             restart=self.cfg.restart,
             max_restarts=max_restarts if max_restarts is not None else self.cfg.max_restarts,
             precond=self.precond(level) if precondition else None,
+            stall_ratio=self.cfg.stall_ratio,
+            stall_cycles=self.cfg.stall_cycles,
         )
-        iters = int(jnp.max(res.iters))
+        # kept as lazy device scalars -- a per-call int() would force a
+        # device sync on the hot path; reporting converts at read time.
+        # NOTE the V-cycle count is approximated by the max over batch rows
+        # (batched solves share Arnoldi steps until all rows converge), and
+        # coarsest applications are charged one per outer iteration -- the
+        # same charging rule as the reference (multigrid.py:349-352,419-423)
+        # up to batching.
+        iters = jnp.max(res.iters)
         self.num_iters = iters
         self.total_solve_calls += 1
-        # one coarsest-inverse application per V-cycle = per outer iteration
-        self.coarsest_lev_iters[level] += iters
+        self.coarsest_lev_iters[level] = self.coarsest_lev_iters[level] + iters
         return res
 
     def coarsest_solve(self, b: CP) -> CP:

@@ -221,7 +221,9 @@ def setup_hierarchy(
         raise ValueError("dof[0] must be 2 (spin components)")
     if cfg.accuracy_mg_eigvs not in ("low", "high"):
         # reference raises for unknown accuracy too (multigrid.py:164-171)
-        raise ValueError("<accuracy_mg_eigvs> does not have a possible value.")
+        raise ValueError(
+            f"accuracy_mg_eigvs must be 'low' or 'high', got {cfg.accuracy_mg_eigvs!r}"
+        )
     eig_tol = 1.0e-3 if cfg.accuracy_mg_eigvs == "low" else 1.0e-9
 
     levels: List[MGLevel] = []

@@ -70,7 +70,9 @@ def psum_moments(es_re, es_im, axis_name: str):
     sq = jax.lax.psum(sq, axis_name)
     mean_re = s_re / cnt
     mean_im = s_im / cnt
-    m2 = sq - (mean_re * mean_re + mean_im * mean_im) * cnt
+    # the raw-sum form sq - |mean|^2 n cancels catastrophically in f32 when
+    # |mean| >> std; clamp so downstream sqrt() never sees a negative m2
+    m2 = jnp.maximum(sq - (mean_re * mean_re + mean_im * mean_im) * cnt, 0.0)
     return cnt, mean_re, mean_im, m2
 
 

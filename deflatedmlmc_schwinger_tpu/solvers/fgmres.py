@@ -34,11 +34,27 @@ class FGMRESResult(NamedTuple):
     bnorm: jnp.ndarray      # (B,) rhs norms
     iters: jnp.ndarray      # (B,) int32 Arnoldi steps per row
     cycles: jnp.ndarray     # () int32 restart cycles used
+    stalled: jnp.ndarray = None  # (B,) bool: final residual above tol_abs
 
 
 def _bc(s: CP) -> CP:
     """Broadcast a (B,) pair scalar over a trailing vector axis."""
     return CP(s.re[:, None], s.im[:, None])
+
+
+def _psum(v, axis_name):
+    return lax.psum(v, axis_name) if axis_name else v
+
+
+def pdot(x: CP, y: CP, axis_name=None) -> CP:
+    """<x, y> along the vector axis; inside shard_map the vector axis is
+    lattice-sharded, so partial sums are psum'd over ``axis_name``."""
+    d = cplx.cdot(x, y)
+    return CP(_psum(d.re, axis_name), _psum(d.im, axis_name))
+
+
+def pnorm(x: CP, axis_name=None) -> jnp.ndarray:
+    return jnp.sqrt(_psum(cplx.norm2(x), axis_name))
 
 
 def _givens(a: CP, b: CP):
@@ -75,24 +91,32 @@ def _cp_set(arr: CP, idx, val: CP) -> CP:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("matvec", "precond", "restart", "max_restarts")
+    jax.jit,
+    static_argnames=(
+        "matvec", "precond", "restart", "max_restarts", "stall_ratio",
+        "stall_cycles",
+    ),
 )
-def _fgmres_impl(matvec, precond, b: CP, x0: CP, tol_abs, restart, max_restarts):
+def _fgmres_impl(matvec, precond, b: CP, x0: CP, tol_abs, restart,
+                 max_restarts, stall_ratio, stall_cycles):
     B, n = b.re.shape
     m = restart
     rdtype = b.re.dtype
     eps = jnp.finfo(rdtype).tiny
 
-    # A restart cycle that fails to cut the worst active residual by this
-    # factor means the attainable (finite-precision) floor was hit: further
-    # restarts only burn V-cycles. Measured on TPU f32: solves below the
-    # eps*kappa floor otherwise spend max_restarts at ~3e-4 forever. The
-    # ratio must admit slow-but-real convergence (~2x/cycle was observed on
-    # 128^2 near the floor), so only near-zero progress counts as a stall.
-    stall_ratio = 0.9
+    # Stagnation cutoff: a restart cycle in which no active row improves by
+    # more than (1 - stall_ratio) means the attainable (finite-precision)
+    # floor was likely hit -- further restarts only burn V-cycles. Measured
+    # on TPU f32: solves below the eps*kappa floor otherwise spend
+    # max_restarts at ~3e-4 forever. Restarted GMRES on the indefinite
+    # Schwinger operator can plateau for one cycle and then converge, so
+    # termination requires ``stall_cycles`` CONSECUTIVE stalled cycles, and
+    # the per-row ``stalled`` flag in the result reports any row whose final
+    # residual is still above tol_abs. stall_ratio=None disables the cutoff
+    # (exact-parity runs).
 
     def cycle_body(state):
-        x, resnorm, prev, iters, cycles = state
+        x, resnorm, prev, iters, cycles, stalls = state
         r = b - matvec(x)
         beta = cplx.norm(r)
         V = cplx.czeros((m + 1, B, n), rdtype)
@@ -185,24 +209,26 @@ def _fgmres_impl(matvec, precond, b: CP, x0: CP, tol_abs, restart, max_restarts)
 
         y = lax.fori_loop(0, m, back_sub, cplx.czeros((B, m), rdtype))
         x = x + cplx.einsum2("jbn,bj->bn", Z, y)
-        return (x, res, resnorm, iters, cycles + 1)
+        if stall_ratio is None:
+            stalls = jnp.int32(0)
+        else:
+            # progress check on the still-active rows only (already-converged
+            # rows must not count as progress: their prev is zeroed out)
+            active_prev = jnp.where(resnorm > tol_abs, resnorm, 0.0)
+            progressing = jnp.any(res < stall_ratio * active_prev)
+            stalls = jnp.where(progressing, jnp.int32(0), stalls + 1)
+        return (x, res, resnorm, iters, cycles + 1, stalls)
 
     def cycle_cond(state):
-        x, resnorm, prev, iters, cycles = state
+        x, resnorm, prev, iters, cycles, stalls = state
         unconverged = jnp.any(resnorm > tol_abs)
-        # progress check on the still-active rows only (already-converged
-        # rows must not count as progress: their prev is zeroed out)
-        active_prev = jnp.where(prev > tol_abs, prev, 0.0)
-        progressing = jnp.any(resnorm < stall_ratio * active_prev)
-        progressing = jnp.logical_or(cycles == 0, progressing)
-        return jnp.logical_and(
-            cycles < max_restarts, jnp.logical_and(unconverged, progressing)
-        )
+        ok = jnp.logical_and(cycles < max_restarts, unconverged)
+        return jnp.logical_and(ok, stalls < stall_cycles)
 
     x0_res = cplx.norm(b - matvec(x0))
     state = (x0, x0_res, jnp.full_like(x0_res, jnp.inf),
-             jnp.zeros((B,), jnp.int32), jnp.int32(0))
-    x, _, _, iters, cycles = lax.while_loop(cycle_cond, cycle_body, state)
+             jnp.zeros((B,), jnp.int32), jnp.int32(0), jnp.int32(0))
+    x, _, _, iters, cycles, _ = lax.while_loop(cycle_cond, cycle_body, state)
     final_res = cplx.norm(b - matvec(x))
     return x, final_res, iters, cycles
 
@@ -216,8 +242,15 @@ def fgmres(
     max_restarts: int = 10,
     precond: Optional[Callable[[CP], CP]] = None,
     x0: Optional[CP] = None,
+    stall_ratio: Optional[float] = 0.9,
+    stall_cycles: int = 2,
 ) -> FGMRESResult:
-    """Solve A x = b for a batch of pair right-hand sides b (B, n)."""
+    """Solve A x = b for a batch of pair right-hand sides b (B, n).
+
+    ``stall_ratio``/``stall_cycles``: terminate after ``stall_cycles``
+    consecutive restart cycles in which no active row improved by more than
+    (1 - stall_ratio); ``stall_ratio=None`` disables the cutoff. Rows whose
+    final residual is above tol are flagged in ``result.stalled``."""
     single = b.re.ndim == 1
     if single:
         b = CP(b.re[None, :], b.im[None, :])
@@ -230,11 +263,15 @@ def fgmres(
     bnorm = cplx.norm(b)
     tol_abs = jnp.asarray(tol, bnorm.dtype) * bnorm
     x, res, iters, cycles = _fgmres_impl(
-        matvec, precond, b, x0, tol_abs, int(restart), int(max_restarts)
+        matvec, precond, b, x0, tol_abs, int(restart), int(max_restarts),
+        None if stall_ratio is None else float(stall_ratio), int(stall_cycles),
     )
+    stalled = res > tol_abs
     if single:
         x, res, bnorm, iters = x[0], res[0], bnorm[0], iters[0]
-    return FGMRESResult(x=x, resnorm=res, bnorm=bnorm, iters=iters, cycles=cycles)
+        stalled = stalled[0]
+    return FGMRESResult(x=x, resnorm=res, bnorm=bnorm, iters=iters,
+                        cycles=cycles, stalled=stalled)
 
 
 def wrap_complex_matvec(mv: Callable) -> Callable[[CP], CP]:

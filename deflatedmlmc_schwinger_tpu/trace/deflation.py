@@ -49,7 +49,8 @@ class Deflation:
     tr1: complex
     values: Optional[np.ndarray] = None
     resnorms: Optional[np.ndarray] = None
-    aux_V: Optional[CP] = None  # MLMC: the reference's Ux (for inexact_03)
+    aux_V: Optional[CP] = None   # MLMC: the reference's Ux (for inexact_03)
+    proj_B: Optional[CP] = None  # inexact_03: (U^H A V)^{-1}, precomputed
 
 
 def _device_basis(V: np.ndarray, rdtype) -> CP:
@@ -146,6 +147,7 @@ def mlmc_level_deflation(
     half = n // 2
     V = np.concatenate([W[:half], -W[half:]], axis=0)  # gamma3 W (utils.py:157)
 
+    proj_B = None
     if cfg.defl_type == "exact":
         small = (Uref.conj().T @ V) * np.abs(theta)[None, :]
         tr1 = complex(np.trace(small))
@@ -156,7 +158,14 @@ def mlmc_level_deflation(
     elif cfg.defl_type == "inexact_02":
         raise NotImplementedError("deflation type inexact_02 under construction")
     elif cfg.defl_type == "inexact_03":
+        # oblique projector x - V (U^H A V)^{-1} U^H A x (reference:
+        # utils.py:269-276): the k x k system is fixed per level, so AV and
+        # its small inverse are precomputed HERE, once -- not per sampling
+        # batch on the hot path.
         tr1 = 0.0 + 0.0j
+        Af = solver.matvec(level)
+        AV = _apply_cols(Af, V, rdtype)
+        proj_B = _device_basis(np.linalg.inv(Uref.conj().T @ AV), rdtype)
     else:
         raise ValueError(f"unknown deflation type {cfg.defl_type!r}")
     return Deflation(
@@ -165,6 +174,7 @@ def mlmc_level_deflation(
         values=theta,
         resnorms=eig.resnorms,
         aux_V=_device_basis(Uref, rdtype),
+        proj_B=proj_B,
     )
 
 

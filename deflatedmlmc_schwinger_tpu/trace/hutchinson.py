@@ -112,7 +112,7 @@ def hutchinson(
     else:
         hier = solver.hier
     if hier.nr_levels < 3:
-        raise Exception("Use three or more levels.")
+        raise Exception("the estimator needs a hierarchy of at least three levels")
     log(f"MG hierarchy sizes: {hier.sizes()}")
 
     # ---- deflation precompute (stoch_trace.py:79-95) ----
@@ -145,7 +145,7 @@ def hutchinson(
     resume_at = state.next_index.get("hutchinson", 0)
     if resume_at:
         log(f"resuming sampling at sample {resume_at} (n={moments.count})")
-    function_iters = 0
+    function_iters = int(state.iters.get("hutchinson", 0))
     solver.coarsest_lev_iters[0] = 0
     B = int(cfg.probe_batch)
     if mesh is not None:
@@ -168,6 +168,7 @@ def hutchinson(
                 EstimatorState(
                     moments={"hutchinson": moments},
                     next_index={"hutchinson": start},
+                    iters={"hutchinson": function_iters},
                 ).save(state_ckpt)
             if should_stop(moments, rough_trace_tol, cfg.min_nr_ests):
                 break
@@ -182,7 +183,7 @@ def hutchinson(
         rough_trace=rough_trace,
     )
     total = flops_vcycle(nnz, solver.cfg.smooth_iters, 0, 0) * function_iters
-    total += nnz[-1] * solver.coarsest_lev_iters[0]
+    total += nnz[-1] * int(solver.coarsest_lev_iters[0])
     k = int(cfg.nr_deflat_vctrs)
     # reference's deflation-work fudge (stoch_trace.py:174-175)
     total += moments.count * (2.0 * n * k) / 3.0

@@ -86,19 +86,13 @@ def mlmc_step_batch(
     x0 = probes
 
     if defl.U is not None and cfg.defl_type == "inexact_03":
-        # oblique projector x - V (U^H A V)^{-1} U^H A x (utils.py:269-276)
-        from deflatedmlmc_schwinger_tpu.solvers.eigs import _apply_cols
-
-        V, Uref = defl.U, defl.aux_V
-        rdtype = x0.re.dtype
+        # oblique projector x - V (U^H A V)^{-1} U^H A x (utils.py:269-276);
+        # the small inverse defl.proj_B is precomputed once per level
+        # (trace/deflation.py) -- only A x0 is applied per batch (device)
         Af = solver.matvec(level)
-        AV = _apply_cols(Af, cplx.to_complex(V), rdtype)         # host (n, k)
-        Bl = np.linalg.inv(cplx.to_complex(Uref).conj().T @ AV)  # (k, k)
-        Blp = CP(jnp.asarray(Bl.real.astype(np.dtype(rdtype))),
-                 jnp.asarray(Bl.imag.astype(np.dtype(rdtype))))
-        t = cplx.matmul_right_conjT(Af(x0), Uref)                # (B, k)
-        coef = cplx.matmul_right(t, Blp)                         # (B, k) @ Bl^T
-        x_def = x0 - cplx.matmul_right(coef, V)
+        t = cplx.matmul_right_conjT(Af(x0), defl.aux_V)          # (B, k)
+        coef = cplx.matmul_right(t, defl.proj_B)                 # (B, k) @ Bl^T
+        x_def = x0 - cplx.matmul_right(coef, defl.U)
     else:
         x_def = deflate(x0, defl.U)
 
@@ -184,10 +178,10 @@ def mlmc(
     # ---- skip-level validation (stoch_trace.py:199-206) ----
     skips = list(cfg.mlmc_levels_to_skip)
     if len(skips) > 1:
-        raise Exception("Only allowed to skip one level for now")
+        raise Exception("level skipping supports at most one skipped level")
     skip_level = len(skips) == 1
     if skip_level and skips[0] != 1:
-        raise Exception("Only allowed to skip the second level for now")
+        raise Exception("only level 1 can be skipped (composite P0*P1 form)")
 
     # ---- MG setup ----
     if solver is None:
@@ -209,7 +203,7 @@ def mlmc(
         hier = solver.hier
     nr_levels = hier.nr_levels
     if nr_levels < 3:
-        raise Exception("Use three or more levels.")
+        raise Exception("MLMC needs a hierarchy of at least three levels")
     log(f"MG hierarchy sizes: {hier.sizes()}")
 
     # ---- per-level deflation (stoch_trace.py:246-274) ----
@@ -249,6 +243,8 @@ def mlmc(
 
     B = int(cfg.probe_batch)
     state = EstimatorState.load_or_empty(state_ckpt)
+    for j in range(nr_levels):
+        results[j]["function_iters"] = int(state.iters.get(f"level{j}", 0))
     if mesh is not None:
         from deflatedmlmc_schwinger_tpu.parallel import shard_batch
     with timer.phase("sampling"):
@@ -280,6 +276,10 @@ def mlmc(
                 if state_ckpt:
                     state.moments[key] = moments
                     state.next_index[key] = start
+                    state.iters = {
+                        f"level{j}": results[j]["function_iters"]
+                        for j in range(nr_levels)
+                    }
                     state.save(state_ckpt)
             results[i]["nr_ests"] += moments.count
             results[i]["ests_avg"] = moments.mean + defls[i].tr1
@@ -293,11 +293,11 @@ def mlmc(
     with timer.phase("coarsest"):
         if hier.levels[-1].n == 1:
             raise Exception(
-                "your coarsest-level matrix is of size 1 ... is this what you want?"
+                "coarsest-level operator is a scalar; refusing the trivial exact trace"
             )
         if not cfg.coarsest_level_directly:
             raise Exception(
-                "Stochastic coarsest-level computation is disabled at the moment."
+                "only the direct (dense-inverse) coarsest-level trace is implemented"
             )
         results[-1]["nr_ests"] += 1
         M = cplx.to_complex(hier.coarsest_inv)
@@ -315,17 +315,28 @@ def mlmc(
         results[i]["level_complexity"] = results[i]["function_iters"] * flops_vcycle(
             nnz, solver.cfg.smooth_iters, i, i
         )
-        results[i]["level_complexity"] += nnz[-1] * solver.coarsest_lev_iters[i]
+        results[i]["level_complexity"] += nnz[-1] * int(solver.coarsest_lev_iters[i])
     n_c = hier.levels[-1].n
     results[-1]["level_complexity"] = float(n_c) ** 3 + results[-1][
         "function_iters"
     ] * float(n_c) ** 2
 
+    # aggregate standard error of the total trace: the level estimates are
+    # independent, so stderr(sum) = sqrt(sum_l dev_l^2 / n_l) over the
+    # stochastic levels (the exact coarsest contributes zero variance). The
+    # reference reports per-level deviations only (utils.py:36-56).
+    agg_stderr = sqrt(
+        sum(
+            r["ests_dev"] ** 2 / r["nr_ests"]
+            for r in results[:-1]
+            if r["nr_ests"] > 0
+        )
+    )
     out = dict(
         nr_levels=nr_levels,
         results=results,
         rough_trace=rough_trace,
-        std_dev=0.0,
+        std_dev=agg_stderr,
         trace=sum(r["ests_avg"] for r in results),
         total_complexity=sum(r["level_complexity"] for r in results),
         timer=timer,

@@ -103,10 +103,13 @@ def load_hierarchy(path: str, rdtype=jnp.float32) -> Hierarchy:
 @dataclasses.dataclass
 class EstimatorState:
     """Resumable sampling state: running moments + next global sample index
-    (per level for MLMC; single entry for Hutchinson)."""
+    (per level for MLMC; single entry for Hutchinson), plus accumulated
+    solver-iteration counters so resumed runs report complexity for ALL
+    samples, not just the ones solved in the current process."""
 
     moments: Dict[str, RunningMoments]
     next_index: Dict[str, int]
+    iters: Dict[str, int] = dataclasses.field(default_factory=dict)
 
     def save(self, path: str) -> None:
         payload = {
@@ -116,6 +119,7 @@ class EstimatorState:
             )
             for name, m in self.moments.items()
         }
+        payload["__iters__"] = {k: int(v) for k, v in self.iters.items()}
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(payload, f)
@@ -125,6 +129,7 @@ class EstimatorState:
     def load(cls, path: str) -> "EstimatorState":
         with open(path) as f:
             payload = json.load(f)
+        iters = {k: int(v) for k, v in payload.pop("__iters__", {}).items()}
         moments = {}
         next_index = {}
         for name, d in payload.items():
@@ -135,7 +140,7 @@ class EstimatorState:
             )
             moments[name] = m
             next_index[name] = int(d["next_index"])
-        return cls(moments=moments, next_index=next_index)
+        return cls(moments=moments, next_index=next_index, iters=iters)
 
     @classmethod
     def load_or_empty(cls, path: Optional[str]) -> "EstimatorState":
