@@ -125,6 +125,9 @@ class TraceConfig:
     subspace_iters: int = 8
     # mesh axis name for sample data-parallelism
     sample_axis: str = "samples"
+    # mesh axis name for lattice domain decomposition (fine-level solves run
+    # the shard_map SPMD program when the mesh carries this axis with size>1)
+    lattice_axis: str = "x"
 
     def complex_dtype(self):
         return self.dtype if self.dtype is not None else default_complex_dtype()

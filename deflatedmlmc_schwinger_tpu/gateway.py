@@ -166,7 +166,18 @@ def G301():
 
 def G302():
     """Deflated Hutchinson on a generated 512^2 quenched config with probe
-    batches sharded over all available chips (BASELINE.json config #5)."""
+    batches sharded over all available chips (BASELINE.json config #5).
+
+    Multi-process: launch one process per host with
+    JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID set; the
+    estimator assembles the global mesh, replicates the hierarchy, shards
+    probe batches globally, and gathers estimates in deterministic sample
+    order on every process (tests/test_multiprocess.py proves bit-identical
+    results across processes). Set DMLMC_X_SHARDS=k to additionally
+    domain-decompose the 512^2 lattice over k chips per probe group
+    (parallel/sharded_solve.py)."""
+    import os
+
     from deflatedmlmc_schwinger_tpu.io import load_operator
     from deflatedmlmc_schwinger_tpu.parallel import initialize, make_mesh
     from deflatedmlmc_schwinger_tpu.reporting import print_post_results, result_to_json
@@ -174,7 +185,14 @@ def G302():
 
     initialize()
     cfg = set_params("schwinger512").replace(function_tol=1e-12)
-    mesh = make_mesh()  # all devices on the 'samples' axis
+    import jax
+
+    ndev = len(jax.devices())
+    xs = int(os.environ.get("DMLMC_X_SHARDS", "1"))
+    if xs > 1 and ndev % xs == 0:
+        mesh = make_mesh((ndev // xs, xs), ("samples", "x"))
+    else:
+        mesh = make_mesh()  # all devices on the 'samples' axis
     nshards = mesh.shape[cfg.sample_axis]
     if cfg.probe_batch % nshards:
         cfg = cfg.replace(probe_batch=nshards * max(1, cfg.probe_batch // nshards))

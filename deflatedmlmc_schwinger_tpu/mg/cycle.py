@@ -29,7 +29,12 @@ from deflatedmlmc_schwinger_tpu.config import SolverConfig
 from deflatedmlmc_schwinger_tpu.mg.hierarchy import Hierarchy
 from deflatedmlmc_schwinger_tpu.ops import cplx
 from deflatedmlmc_schwinger_tpu.ops.cplx import CP
-from deflatedmlmc_schwinger_tpu.solvers.fgmres import FGMRESResult, fgmres
+from deflatedmlmc_schwinger_tpu.solvers.fgmres import (
+    FGMRESResult,
+    fgmres,
+    pdot,
+    pnorm,
+)
 
 
 def _solve_hpd_small(A: list, b: list, m: int):
@@ -67,25 +72,27 @@ def _solve_hpd_small(A: list, b: list, m: int):
     return y
 
 
-def gmres_smoother(matvec: Callable, r: CP, iters: int) -> CP:
+def gmres_smoother(matvec: Callable, r: CP, iters: int, axis_name=None) -> CP:
     """k-step GMRES from a zero initial guess (the reference's
     ``lgmres(tol=1e-20, maxiter=smooth_iters)`` smoothing role,
-    multigrid.py:392-394). Static iteration count, batched, pair-native."""
-    B, n = r.re.shape
+    multigrid.py:392-394). Static iteration count, batched, pair-native.
+    ``axis_name``: psum reductions over that mesh axis when the vector axis
+    is lattice-sharded inside shard_map."""
+    B = r.re.shape[0]
     m = iters
     rdtype = r.re.dtype
     eps = jnp.finfo(rdtype).tiny
-    beta = cplx.norm(r)
+    beta = pnorm(r, axis_name)
     Vs = [cplx.scale_real(r, 1.0 / jnp.maximum(beta, eps)[:, None])]
     # H as python lists of (B,) pair scalars: H[i][j]
     H = [[None] * m for _ in range(m + 1)]
     for j in range(m):
         w = matvec(Vs[j])
         for i in range(j + 1):
-            hij = cplx.cdot(Vs[i], w)
+            hij = pdot(Vs[i], w, axis_name)
             H[i][j] = hij
             w = w - cplx.cmul(CP(hij.re[:, None], hij.im[:, None]), Vs[i])
-        hn = cplx.norm(w)
+        hn = pnorm(w, axis_name)
         H[j + 1][j] = CP(hn, jnp.zeros_like(hn))
         Vs.append(cplx.scale_real(w, 1.0 / jnp.maximum(hn, eps)[:, None]))
     # normal equations: (H^H H) y = H^H (beta e1)
@@ -106,7 +113,7 @@ def gmres_smoother(matvec: Callable, r: CP, iters: int) -> CP:
         h0a = H[0][a]
         rhs[a] = CP(h0a.re * beta, -h0a.im * beta)
     y = _solve_hpd_small(A, rhs, m)
-    out = cplx.czeros((B, n), rdtype)
+    out = cplx.czeros(r.re.shape, rdtype)
     for j in range(m):
         out = out + cplx.cmul(CP(y[j].re[:, None], y[j].im[:, None]), Vs[j])
     return out
@@ -143,6 +150,38 @@ def gmres_poly_roots(matvec: Callable, n: int, rdtype, m: int, seed: int = 29):
         prod = [np.prod([abs(theta[i] - theta[o]) for o in order]) for i in rest]
         order.append(rest[int(np.argmax(prod))])
     return theta[order]
+
+
+def build_v_cycle(levels, coarsest_inv: CP, smoothers) -> Callable[[CP], CP]:
+    """V-cycle closure over an explicit level tuple (pair-native): descend
+    with smooth/residual/restrict, dense precomputed inverse on the coarsest,
+    ascend with prolong-correct/residual/post-smooth (reference:
+    multigrid.py:369-447). ``smoothers[i]`` pairs with ``levels[i]``.
+
+    Standalone so the lattice-sharded fine-level solve can reuse the SAME
+    coarse-cycle code inside shard_map (parallel/sharded_solve.py): the
+    level-0 V-cycle factors as smooth0 + P0 . v_cycle(levels[1:]) . R0 +
+    post-smooth0."""
+
+    def v_cycle(b: CP) -> CP:
+        bs = [b]
+        xs = []
+        for lev, sm in zip(levels[:-1], smoothers):
+            x = sm(lev.op.matvec, bs[-1])
+            r = bs[-1] - lev.op.matvec(x)
+            xs.append(x)
+            bs.append(lev.P.apply_adjoint(r))
+        xc = cplx.matmul_right(bs[-1], coarsest_inv)
+        for lev, sm, x, bf in zip(
+            levels[-2::-1], smoothers[::-1], xs[::-1], bs[-2::-1]
+        ):
+            x = x + lev.P.apply(xc)
+            r = bf - lev.op.matvec(x)
+            x = x + sm(lev.op.matvec, r)
+            xc = x
+        return xc
+
+    return v_cycle
 
 
 def poly_smoother(matvec: Callable, r: CP, roots) -> CP:
@@ -211,25 +250,7 @@ class MGSolver:
                     (lambda mv, r: gmres_smoother(mv, r, smooth_iters))
                 ] * (len(levels) - 1)
 
-            def v_cycle(b: CP) -> CP:
-                bs = [b]
-                xs = []
-                for lev, sm in zip(levels[:-1], smoothers):
-                    x = sm(lev.op.matvec, bs[-1])
-                    r = bs[-1] - lev.op.matvec(x)
-                    xs.append(x)
-                    bs.append(lev.P.apply_adjoint(r))
-                xc = cplx.matmul_right(bs[-1], coarsest_inv)
-                for lev, sm, x, bf in zip(
-                    levels[-2::-1], smoothers[::-1], xs[::-1], bs[-2::-1]
-                ):
-                    x = x + lev.P.apply(xc)
-                    r = bf - lev.op.matvec(x)
-                    x = x + sm(lev.op.matvec, r)
-                    xc = x
-                return xc
-
-            self._preconds[level] = v_cycle
+            self._preconds[level] = build_v_cycle(levels, coarsest_inv, smoothers)
         return self._preconds[level]
 
     # -- solves -------------------------------------------------------------

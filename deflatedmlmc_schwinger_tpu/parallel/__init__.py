@@ -12,3 +12,6 @@ from deflatedmlmc_schwinger_tpu.parallel.distributed import (  # noqa: F401
     initialize,
     psum_moments,
 )
+from deflatedmlmc_schwinger_tpu.parallel.sharded_solve import (  # noqa: F401
+    ShardedMGSolver,
+)

@@ -47,6 +47,42 @@ def initialize(
     return jax.process_index()
 
 
+def global_values(a) -> np.ndarray:
+    """Full host value of a (possibly multi-process global) jax array, on
+    EVERY process, in deterministic global sample order.
+
+    Single-process arrays are just pulled; multi-process global arrays are
+    assembled with a process allgather (the SURVEY section 5.8
+    'deterministic sample-order gather': every process sees the identical
+    estimate stream, so moments, stopping decisions and logs are
+    bit-identical across processes with no further reduction)."""
+    if getattr(a, "is_fully_addressable", True):
+        return np.asarray(a)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+
+
+def shard_global_batch(x, mesh, axis: str = "samples"):
+    """Multi-process variant of mesh.shard_batch: build a GLOBAL array for a
+    mesh spanning several processes from the locally computed batch (probes
+    are counter-keyed, so every process holds the identical host value)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from deflatedmlmc_schwinger_tpu.ops.cplx import CP
+
+    def put(a):
+        nd = a.ndim
+        sharding = NamedSharding(mesh, P(axis, *([None] * (nd - 1))))
+        host = np.asarray(a)
+        return jax.make_array_from_callback(host.shape, sharding,
+                                            lambda idx: host[idx])
+
+    if isinstance(x, CP):
+        return CP(put(x.re), put(x.im))
+    return put(x)
+
+
 def moments_parts(es_re: jnp.ndarray, es_im: jnp.ndarray):
     """Per-shard raw moment sums (count, sum, sum|e|^2) of a batch of
     estimates -- the additive (psum-able) form of RunningMoments."""

@@ -40,17 +40,41 @@ def make_mesh(
     return Mesh(arr, axis_names=tuple(axis_names))
 
 
+def spans_processes(mesh: Mesh) -> bool:
+    """True when the mesh has devices owned by other processes (multi-host);
+    global arrays must then be built shard-by-shard from local host values."""
+    me = jax.process_index()
+    return any(d.process_index != me for d in np.asarray(mesh.devices).flat)
+
+
 def shard_batch(x, mesh: Mesh, axis: str = "samples"):
     """Place a (B, ...) array (or CP pair) with its leading dim sharded over
-    ``axis``."""
+    ``axis``. Works on single- and multi-process meshes (probes are
+    counter-keyed, so every process holds the identical host batch)."""
     from deflatedmlmc_schwinger_tpu.ops.cplx import CP
 
+    if spans_processes(mesh):
+        from deflatedmlmc_schwinger_tpu.parallel.distributed import (
+            shard_global_batch,
+        )
+
+        return shard_global_batch(x, mesh, axis)
     nd = x.re.ndim if isinstance(x, CP) else x.ndim
     spec = P(axis, *([None] * (nd - 1)))
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 
 def replicate(tree, mesh: Mesh):
-    """Replicate a pytree (hierarchy, deflation basis) across the mesh."""
+    """Replicate a pytree (hierarchy, deflation basis) across the mesh
+    (SURVEY.md P4: setup artifacts broadcast to every chip/host)."""
     sharding = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sharding), tree)
+    if spans_processes(mesh):
+        def put(a):
+            host = np.asarray(a)
+            return jax.make_array_from_callback(
+                host.shape, sharding, lambda idx: host[idx]
+            )
+    else:
+        def put(a):
+            return jax.device_put(a, sharding)
+    return jax.tree_util.tree_map(put, tree)

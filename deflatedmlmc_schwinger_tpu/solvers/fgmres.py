@@ -57,6 +57,17 @@ def pnorm(x: CP, axis_name=None) -> jnp.ndarray:
     return jnp.sqrt(_psum(cplx.norm2(x), axis_name))
 
 
+def _gany(pred: jnp.ndarray, axes) -> jnp.ndarray:
+    """Global any() of a boolean across mesh axes. Loop predicates MUST be
+    identical on every device that participates in a collective inside the
+    loop: a samples-row that converged earlier and stopped issuing the halo
+    ppermute would deadlock the ring (observed on the CPU communicator;
+    undefined behavior on real ICI)."""
+    if not axes:
+        return pred
+    return lax.psum(pred.astype(jnp.float32), axes) > 0
+
+
 def _givens(a: CP, b: CP):
     """Complex Givens rotation in pair arithmetic: c real, s pair with
     [c, s; -conj(s), c] @ [a, b]^T = [r, 0]^T."""
@@ -94,11 +105,12 @@ def _cp_set(arr: CP, idx, val: CP) -> CP:
     jax.jit,
     static_argnames=(
         "matvec", "precond", "restart", "max_restarts", "stall_ratio",
-        "stall_cycles",
+        "stall_cycles", "axis_name", "pred_axis_names",
     ),
 )
 def _fgmres_impl(matvec, precond, b: CP, x0: CP, tol_abs, restart,
-                 max_restarts, stall_ratio, stall_cycles):
+                 max_restarts, stall_ratio, stall_cycles, axis_name=None,
+                 pred_axis_names=()):
     B, n = b.re.shape
     m = restart
     rdtype = b.re.dtype
@@ -118,7 +130,7 @@ def _fgmres_impl(matvec, precond, b: CP, x0: CP, tol_abs, restart,
     def cycle_body(state):
         x, resnorm, prev, iters, cycles, stalls = state
         r = b - matvec(x)
-        beta = cplx.norm(r)
+        beta = pnorm(r, axis_name)
         V = cplx.czeros((m + 1, B, n), rdtype)
         V = _cp_set(V, 0, cplx.scale_real(r, 1.0 / jnp.maximum(beta, eps)[:, None]))
         Z = cplx.czeros((m, B, n), rdtype)
@@ -131,7 +143,8 @@ def _fgmres_impl(matvec, precond, b: CP, x0: CP, tol_abs, restart,
 
         def arnoldi_cond(c):
             V, Z, H, g, cs, sn, j, res, iters = c
-            return jnp.logical_and(j < m, jnp.any(res > tol_abs))
+            unconv = _gany(jnp.any(res > tol_abs), pred_axis_names)
+            return jnp.logical_and(j < m, unconv)
 
         def arnoldi_body(c):
             V, Z, H, g, cs, sn, j, res, iters = c
@@ -146,12 +159,12 @@ def _fgmres_impl(matvec, precond, b: CP, x0: CP, tol_abs, restart,
 
             def mgs(i, wh):
                 w, hcol = wh
-                hi = cplx.cdot(V[i], w)                   # (B,)
+                hi = pdot(V[i], w, axis_name)             # (B,)
                 w = w - cplx.cmul(_bc(hi), V[i])
                 return (w, _cp_set(hcol, (slice(None), i), hi))
 
             w, hcol = lax.fori_loop(0, j + 1, mgs, (w, hcol))
-            hnorm = cplx.norm(w)
+            hnorm = pnorm(w, axis_name)
             hcol = _cp_set(
                 hcol, (slice(None), j + 1), CP(hnorm, jnp.zeros_like(hnorm))
             )
@@ -215,21 +228,23 @@ def _fgmres_impl(matvec, precond, b: CP, x0: CP, tol_abs, restart,
             # progress check on the still-active rows only (already-converged
             # rows must not count as progress: their prev is zeroed out)
             active_prev = jnp.where(resnorm > tol_abs, resnorm, 0.0)
-            progressing = jnp.any(res < stall_ratio * active_prev)
+            progressing = _gany(
+                jnp.any(res < stall_ratio * active_prev), pred_axis_names
+            )
             stalls = jnp.where(progressing, jnp.int32(0), stalls + 1)
         return (x, res, resnorm, iters, cycles + 1, stalls)
 
     def cycle_cond(state):
         x, resnorm, prev, iters, cycles, stalls = state
-        unconverged = jnp.any(resnorm > tol_abs)
+        unconverged = _gany(jnp.any(resnorm > tol_abs), pred_axis_names)
         ok = jnp.logical_and(cycles < max_restarts, unconverged)
         return jnp.logical_and(ok, stalls < stall_cycles)
 
-    x0_res = cplx.norm(b - matvec(x0))
+    x0_res = pnorm(b - matvec(x0), axis_name)
     state = (x0, x0_res, jnp.full_like(x0_res, jnp.inf),
              jnp.zeros((B,), jnp.int32), jnp.int32(0), jnp.int32(0))
     x, _, _, iters, cycles, _ = lax.while_loop(cycle_cond, cycle_body, state)
-    final_res = cplx.norm(b - matvec(x))
+    final_res = pnorm(b - matvec(x), axis_name)
     return x, final_res, iters, cycles
 
 
@@ -244,13 +259,26 @@ def fgmres(
     x0: Optional[CP] = None,
     stall_ratio: Optional[float] = 0.9,
     stall_cycles: int = 2,
+    axis_name: Optional[str] = None,
+    pred_axis_names: tuple = (),
 ) -> FGMRESResult:
     """Solve A x = b for a batch of pair right-hand sides b (B, n).
 
     ``stall_ratio``/``stall_cycles``: terminate after ``stall_cycles``
     consecutive restart cycles in which no active row improved by more than
     (1 - stall_ratio); ``stall_ratio=None`` disables the cutoff. Rows whose
-    final residual is above tol are flagged in ``result.stalled``."""
+    final residual is above tol are flagged in ``result.stalled``.
+
+    ``axis_name``: set when running INSIDE shard_map with the vector axis
+    lattice-sharded over that mesh axis -- all inner products and norms then
+    psum their shard-local partial sums (parallel/sharded_solve.py).
+
+    ``pred_axis_names``: mesh axes over which the loop-termination predicates
+    are globalized (any-reduce). MUST cover every mesh axis whose shards run
+    collectives inside this solve but hold different rows (the 'samples'
+    axis): otherwise early-converging shards stop issuing the halo collective
+    and the ring deadlocks. Matches single-chip batched semantics (all rows
+    step until the slowest converges) at the cost of one scalar psum."""
     single = b.re.ndim == 1
     if single:
         b = CP(b.re[None, :], b.im[None, :])
@@ -260,11 +288,12 @@ def fgmres(
         x0 = CP(x0.re[None, :], x0.im[None, :])
     if precond is None:
         precond = lambda v: v
-    bnorm = cplx.norm(b)
+    bnorm = pnorm(b, axis_name)
     tol_abs = jnp.asarray(tol, bnorm.dtype) * bnorm
     x, res, iters, cycles = _fgmres_impl(
         matvec, precond, b, x0, tol_abs, int(restart), int(max_restarts),
         None if stall_ratio is None else float(stall_ratio), int(stall_cycles),
+        axis_name, tuple(pred_axis_names),
     )
     stalled = res > tol_abs
     if single:

@@ -178,6 +178,23 @@ def mlmc_level_deflation(
     )
 
 
+def replicate_deflation(defl: Deflation, mesh) -> Deflation:
+    """Replicate the device-resident deflation arrays over a mesh (SURVEY.md
+    P4: basis computed once, broadcast everywhere). Without this the basis
+    sits on one device and every projector application drags the sharded
+    probe batch there."""
+    from deflatedmlmc_schwinger_tpu.parallel.mesh import replicate
+
+    return dataclasses.replace(
+        defl,
+        **{
+            f: replicate(getattr(defl, f), mesh)
+            for f in ("U", "aux_V", "proj_B")
+            if getattr(defl, f) is not None
+        },
+    )
+
+
 def deflate(x: CP, U: Optional[CP]) -> CP:
     """x - U (U^H x) on (B, n) pair batches (fused tall-skinny real matmuls,
     reference: utils.py:224,266)."""

@@ -46,18 +46,30 @@ from deflatedmlmc_schwinger_tpu.utils.timer import PhaseTimer
 
 
 def hutchinson_step_batch(op, solver: MGSolver, cfg: TraceConfig,
-                          defl: Deflation, probes):
+                          defl: Deflation, probes, fine_solver=None):
     """One batch of deflated Hutchinson estimates (reference:
     utils.py:210-250). probes is a (B, n) CP pair; returns host
-    (estimates complex (B,), per-row iteration counts)."""
+    (estimates complex (B,), per-row iteration counts).
+
+    ``fine_solver``: optional solver for the fine-level systems -- the
+    lattice-sharded ShardedMGSolver when running on a ('samples', 'x') mesh
+    (parallel/sharded_solve.py); defaults to the replicated MGSolver."""
     x = probes
     x_def = deflate(x, defl.U)
     d = solver.hier.levels[0].perm_shift
     if cfg.use_permuted and d:
         x_def = shift_rows_down_pair(x_def, d)
-    res = solver.solve(x_def, cfg.function_tol)
+    res = (fine_solver or solver).solve(x_def, cfg.function_tol)
     e = cplx.cdot(x, res.x)                  # (B,) pair
-    return np.asarray(e.re) + 1j * np.asarray(e.im), np.asarray(res.iters)
+    # global_values assembles the full batch on every process (multi-host
+    # runs shard the batch across processes; single-process it is asarray),
+    # so moments and stopping decisions are identical everywhere
+    from deflatedmlmc_schwinger_tpu.parallel.distributed import global_values
+
+    return (
+        global_values(e.re) + 1j * global_values(e.im),
+        global_values(res.iters),
+    )
 
 
 def hutchinson(
@@ -115,9 +127,43 @@ def hutchinson(
         raise Exception("the estimator needs a hierarchy of at least three levels")
     log(f"MG hierarchy sizes: {hier.sizes()}")
 
+    # multi-host (SURVEY.md P5): a mesh spanning several processes needs the
+    # hierarchy as GLOBAL replicated arrays (closures over process-local
+    # arrays cannot feed a global computation); single-process meshes skip
+    # this, GSPMD handles local constants
+    if mesh is not None:
+        from deflatedmlmc_schwinger_tpu.parallel import replicate
+        from deflatedmlmc_schwinger_tpu.parallel.mesh import spans_processes
+
+        if spans_processes(mesh):
+            hier = replicate(hier, mesh)
+            solver = MGSolver(hier, solver.cfg)
+
+    # lattice domain decomposition (SURVEY.md P3): when the mesh carries a
+    # lattice axis, every fine-level probe solve runs the sharded SPMD
+    # program (halo-exchange stencil, shard-local P/R, psum'd Krylov dots)
+    fine_solver = None
+    if (
+        mesh is not None
+        and cfg.lattice_axis in mesh.axis_names
+        and mesh.shape[cfg.lattice_axis] > 1
+    ):
+        from deflatedmlmc_schwinger_tpu.parallel.sharded_solve import ShardedMGSolver
+
+        fine_solver = ShardedMGSolver(
+            hier, mesh, cfg.solver,
+            x_axis=cfg.lattice_axis, sample_axis=cfg.sample_axis,
+        )
+        log(f"fine-level solves lattice-sharded over "
+            f"{mesh.shape[cfg.lattice_axis]} '{cfg.lattice_axis}' shards")
+
     # ---- deflation precompute (stoch_trace.py:79-95) ----
     with timer.phase("defl_setup"):
         defl = hutchinson_deflation(op, solver, cfg)
+        if mesh is not None and defl.U is not None:
+            from deflatedmlmc_schwinger_tpu.trace.deflation import replicate_deflation
+
+            defl = replicate_deflation(defl, mesh)
     if defl.values is not None:
         log(f"deflation |eigs|: {np.abs(defl.values)}  tr1={defl.tr1:.6f}")
 
@@ -131,7 +177,7 @@ def hutchinson(
         # only the first nr_rough_iters estimates enter the statistic
         Br = max(int(cfg.nr_rough_iters), int(cfg.probe_batch))
         X = rough_probes(0, Br, n, rdtype)
-        es, _ = hutchinson_step_batch(op, solver, cfg, defl, X)
+        es, _ = hutchinson_step_batch(op, solver, cfg, defl, X, fine_solver)
         rough_trace = complex(np.mean(es[: cfg.nr_rough_iters])) + defl.tr1
     rough_trace_tol = abs(cfg.trace_tol * rough_trace)
     log(f"rough trace: {rough_trace:.6f}  target stderr: {rough_trace_tol:.3e}")
@@ -147,6 +193,8 @@ def hutchinson(
         log(f"resuming sampling at sample {resume_at} (n={moments.count})")
     function_iters = int(state.iters.get("hutchinson", 0))
     solver.coarsest_lev_iters[0] = 0
+    if fine_solver is not None:
+        fine_solver.coarsest_lev_iters[0] = 0
     B = int(cfg.probe_batch)
     if mesh is not None:
         from deflatedmlmc_schwinger_tpu.parallel import shard_batch
@@ -160,7 +208,7 @@ def hutchinson(
             X = probes(start, B, n, rdtype)
             if mesh is not None:
                 X = shard_batch(X, mesh, cfg.sample_axis)
-            es, iters = hutchinson_step_batch(op, solver, cfg, defl, X)
+            es, iters = hutchinson_step_batch(op, solver, cfg, defl, X, fine_solver)
             moments.update_batch(es)
             function_iters += int(np.sum(iters))
             start += B
@@ -184,6 +232,8 @@ def hutchinson(
     )
     total = flops_vcycle(nnz, solver.cfg.smooth_iters, 0, 0) * function_iters
     total += nnz[-1] * int(solver.coarsest_lev_iters[0])
+    if fine_solver is not None:
+        total += nnz[-1] * int(fine_solver.coarsest_lev_iters[0])
     k = int(cfg.nr_deflat_vctrs)
     # reference's deflation-work fudge (stoch_trace.py:174-175)
     total += moments.count * (2.0 * n * k) / 3.0

@@ -77,9 +77,13 @@ def mlmc_step_batch(
     defl: Deflation,
     probes: jnp.ndarray,
     skip_level: bool,
+    fine_solver=None,
 ):
     """One batch of difference-level estimates (reference: utils.py:252-357).
-    Returns (estimates (B,), fine iters (B,), coarse iters (B,), coarse_level)."""
+    Returns (estimates (B,), fine iters (B,), coarse iters (B,), coarse_level).
+
+    ``fine_solver``: optional lattice-sharded solver for the LEVEL-0 systems
+    (parallel/sharded_solve.py); coarse levels always run replicated."""
     hier = solver.hier
     fine, coarse, restrict, prolong = level_structure(solver, level, skip_level)
     coarsest = hier.nr_levels - 1
@@ -101,7 +105,10 @@ def mlmc_step_batch(
         x_def = shift_rows_down_pair(x_def, d)
         x_def = bblock_apply(hier, level, x_def)
 
-    res_f = solver.solve(x_def, cfg.function_tol, level=fine)
+    if fine_solver is not None and fine == 0:
+        res_f = fine_solver.solve(x_def, cfg.function_tol)
+    else:
+        res_f = solver.solve(x_def, cfg.function_tol, level=fine)
     e1 = cplx.cdot(x0, res_f.x)
 
     xc = restrict(x_def)
@@ -115,8 +122,11 @@ def mlmc_step_batch(
     w = prolong(y)
     e2 = cplx.cdot(x0, w)
     e = e1 - e2
-    es = np.asarray(e.re) + 1j * np.asarray(e.im)
-    return es, np.asarray(res_f.iters), np.asarray(iters2), coarse
+    # full batch on every process (see trace/hutchinson.py)
+    from deflatedmlmc_schwinger_tpu.parallel.distributed import global_values
+
+    es = global_values(e.re) + 1j * global_values(e.im)
+    return es, global_values(res_f.iters), global_values(iters2), coarse
 
 
 def _tolerance_fractions(nr_levels: int, skip_level: bool):
@@ -206,6 +216,31 @@ def mlmc(
         raise Exception("MLMC needs a hierarchy of at least three levels")
     log(f"MG hierarchy sizes: {hier.sizes()}")
 
+    # multi-host: global replicated hierarchy (see trace/hutchinson.py)
+    if mesh is not None:
+        from deflatedmlmc_schwinger_tpu.parallel import replicate
+        from deflatedmlmc_schwinger_tpu.parallel.mesh import spans_processes
+
+        if spans_processes(mesh):
+            hier = replicate(hier, mesh)
+            solver = MGSolver(hier, solver.cfg)
+
+    # lattice domain decomposition for the level-0 solves (SURVEY.md P3)
+    fine_solver = None
+    if (
+        mesh is not None
+        and cfg.lattice_axis in mesh.axis_names
+        and mesh.shape[cfg.lattice_axis] > 1
+    ):
+        from deflatedmlmc_schwinger_tpu.parallel.sharded_solve import ShardedMGSolver
+
+        fine_solver = ShardedMGSolver(
+            hier, mesh, cfg.solver,
+            x_axis=cfg.lattice_axis, sample_axis=cfg.sample_axis,
+        )
+        log(f"level-0 solves lattice-sharded over "
+            f"{mesh.shape[cfg.lattice_axis]} '{cfg.lattice_axis}' shards")
+
     # ---- per-level deflation (stoch_trace.py:246-274) ----
     defls: List[Deflation] = []
     with timer.phase("defl_setup"):
@@ -214,16 +249,27 @@ def mlmc(
                 defls.append(Deflation(U=None, tr1=0.0 + 0.0j))
                 continue
             k = int(cfg.mlmc_deflat_vctrs[i]) if i < len(cfg.mlmc_deflat_vctrs) else 0
-            defls.append(mlmc_level_deflation(solver, i, k, cfg, skip_level))
+            d = mlmc_level_deflation(solver, i, k, cfg, skip_level)
+            if mesh is not None and d.U is not None:
+                from deflatedmlmc_schwinger_tpu.trace.deflation import (
+                    replicate_deflation,
+                )
+
+                d = replicate_deflation(d, mesh)
+            defls.append(d)
 
     # ---- rough trace (stoch_trace.py:281-302) ----
     with timer.phase("rough_trace"):
         rough_defl = hutchinson_deflation(op, solver, cfg)
+        if mesh is not None and rough_defl.U is not None:
+            from deflatedmlmc_schwinger_tpu.trace.deflation import replicate_deflation
+
+            rough_defl = replicate_deflation(rough_defl, mesh)
         rough_probes = make_probe_source(probe_source, cfg.rough_seed)
         # padded to the sampling batch shape (see trace/hutchinson.py)
         Br = max(int(cfg.nr_rough_iters), int(cfg.probe_batch))
         X = rough_probes(0, Br, op.n, op.dtype)
-        es, _ = hutchinson_step_batch(op, solver, cfg, rough_defl, X)
+        es, _ = hutchinson_step_batch(op, solver, cfg, rough_defl, X, fine_solver)
         rough_trace = complex(np.mean(es[: cfg.nr_rough_iters])) + rough_defl.tr1
     log(f"rough trace: {rough_trace:.6f}")
 
@@ -237,6 +283,8 @@ def mlmc(
     f0, f1 = _tolerance_fractions(nr_levels, skip_level)
     for i in range(nr_levels):
         solver.coarsest_lev_iters[i] = 0
+        if fine_solver is not None:
+            fine_solver.coarsest_lev_iters[i] = 0
 
     # ---- difference-level sampling loops (stoch_trace.py:348-416) ----
     from deflatedmlmc_schwinger_tpu.utils.checkpoint import EstimatorState
@@ -267,7 +315,7 @@ def mlmc(
                 if mesh is not None:
                     X = shard_batch(X, mesh, cfg.sample_axis)
                 es, it1, it2, coarse = mlmc_step_batch(
-                    solver, cfg, i, defls[i], X, skip_level
+                    solver, cfg, i, defls[i], X, skip_level, fine_solver
                 )
                 moments.update_batch(es)
                 results[i]["function_iters"] += int(np.sum(it1))
@@ -316,6 +364,10 @@ def mlmc(
             nnz, solver.cfg.smooth_iters, i, i
         )
         results[i]["level_complexity"] += nnz[-1] * int(solver.coarsest_lev_iters[i])
+        if fine_solver is not None:
+            results[i]["level_complexity"] += nnz[-1] * int(
+                fine_solver.coarsest_lev_iters[i]
+            )
     n_c = hier.levels[-1].n
     results[-1]["level_complexity"] = float(n_c) ** 3 + results[-1][
         "function_iters"
