@@ -1,13 +1,23 @@
-"""Benchmark: batched deflated-Hutchinson probe solves on the 128^2 Schwinger
-lattice, single chip.
+"""Benchmark: the 128^2 Schwinger flagship on a single chip.
 
-Headline metric (BASELINE.md): the reference does one fine-level
-MG-preconditioned probe solve in ~10.4 s on one CPU core (0.096
-probe-solves/sec/core, G202 rough-trace measurement). Here a whole probe
-batch is solved in one batched MG-FGMRES call on the TPU.
+Three measurements, all vs the reference's CPU baselines (BASELINE.md):
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/0.096}
+1. wall_time_to_1pct_error_s -- the BASELINE.json north-star metric: the
+   COMPLETE G102 deflated-Hutchinson run (displaced trace, trace_tol 1e-2)
+   from operator load through the stopping rule, wall clock.  The reference
+   needs ~10.4 s per probe solve (0.096 solves/s, one core) and the same
+   stopping rule needs ~9.3k probes => ~97,300 s estimated end-to-end (it was
+   never observed to finish; BASELINE.md G202 note).
+2. probe_solves_per_sec -- batched fine-level MG-FGMRES probe solves, with
+   the solve tolerance IN the metric name (round-1 verdict: the baseline row
+   is FGMRES@1e-12 in f64; the f32 on-chip target is 5e-4, which
+   tests/test_bias.py bounds to a trace bias far below the 1% budget).
+3. Stencil roofline -- achieved HBM GB/s and GFLOP/s of the fine-level
+   Pallas stencil matvec vs chip peaks (TPU v5e: ~819 GB/s HBM, the stencil
+   is elementwise/VPU work so bandwidth is the binding roof).
+
+Prints ONE JSON line: the headline metric plus an "extra" dict carrying the
+other measurements.
 """
 
 from __future__ import annotations
@@ -18,7 +28,15 @@ import time
 
 import numpy as np
 
-BASELINE_SOLVES_PER_SEC = 0.096  # BASELINE.md, measured on the reference
+# BASELINE.md: 0.096 probe-solves/s/core measured on the reference (G202
+# rough trace, FGMRES@1e-12); the same stopping rule needs the nr_ests
+# measured below, so the reference's end-to-end time is nr_ests / 0.096.
+BASELINE_SOLVES_PER_SEC = 0.096
+# recorded exact displaced trace (reference gateway.py:100-104)
+ORACLE = -8.748242701374695 + 50.215154098005584j
+# TPU v5e (one chip): HBM bandwidth ~0.81 TB/s (public spec). The stencil
+# matvec is VPU elementwise work, so HBM is the relevant roof.
+HBM_PEAK_GBS = 810.0
 
 
 def main() -> None:
@@ -29,75 +47,85 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from deflatedmlmc_schwinger_tpu.config import TraceConfig
+    from deflatedmlmc_schwinger_tpu.config import SolverConfig, TraceConfig
     from deflatedmlmc_schwinger_tpu.io import load_operator
     from deflatedmlmc_schwinger_tpu.mg import MGSolver, setup_hierarchy
     from deflatedmlmc_schwinger_tpu.ops.dirac import pair_operator, shift_rows_down_pair
     from deflatedmlmc_schwinger_tpu.solvers.fgmres import fgmres
+    from deflatedmlmc_schwinger_tpu.trace import hutchinson
     from deflatedmlmc_schwinger_tpu.trace.probes import make_probe_source
+    from deflatedmlmc_schwinger_tpu.utils.profiling import maybe_trace
 
-    from deflatedmlmc_schwinger_tpu.config import SolverConfig
-
-    # tuned on-chip (see git history): 8 CheFSI rounds halve the outer
-    # iteration count vs 4; restart=40 cuts another ~20%; batch 64 is the
-    # throughput sweet spot for this lattice size
+    # G102 flagship (gateway.py G102/set_params('schwinger128')); solver
+    # knobs tuned on-chip (see git history)
     cfg = TraceConfig(
         matrix="schwinger128.mat",
         mass=-0.1320,
         latt_dims=(128, 128),
+        trace_tol=1e-2,
         max_nr_levels=4,
         aggrs=(4 * 4, 2 * 2, 2 * 2),
         dof=(2, 8, 8, 8),
         accuracy_mg_eigvs="low",
         test_vectors_type="RSVs",
+        nr_deflat_vctrs=8,
         use_permuted=True,
         x_displacement=2,
         chebyshev_degree=60,
         subspace_iters=8,
+        probe_batch=128,
         dtype=jnp.complex64,
         solver=SolverConfig(restart=40, smoother="poly"),
     )
+
+    # ---- 1. end-to-end time to 1% relative error (G102) ----
     t0 = time.time()
     op, _ = load_operator(cfg.matrix, cfg.mass, latt_dims=cfg.latt_dims,
                           dtype=np.complex64)
     op = pair_operator(op)
+    t_setup0 = time.time()
     hier = setup_hierarchy(op, cfg)
-    solver = MGSolver(hier, cfg.solver)
-    mv = solver.matvec(0)
-    pc = solver.precond(0)
-    setup_s = time.time() - t0
+    jax.block_until_ready(hier.coarsest_inv.re)
+    setup_s = time.time() - t_setup0
     print(f"# setup: {setup_s:.1f}s  sizes={hier.sizes()}", file=sys.stderr)
+    solver = MGSolver(hier, cfg.solver)
 
-    B = 128  # measured sweet spot (64: 65 solves/s, 128: 87, 256: 79)
-    # attainable complex64 residual is eps*kappa ~ 1e-4 for this operator
-    # (measured stall at 3.3e-4 with 10 restarts); the trace needs only 1e-2,
-    # so 5e-4 is the honest f32 solve target -- tighter only burns restarts
+    result = hutchinson(op, cfg, solver=solver, verbose=False)
+    time_to_1pct = time.time() - t0
+    trace = result["trace"]
+    nr_ests = int(result["nr_ests"])
+    stderr = result["std_dev"] / max(np.sqrt(nr_ests), 1.0)
+    rel_err = abs(trace - ORACLE) / abs(ORACLE)
+    # the reference at 0.096 solves/s on the same stopping rule (same
+    # nr_ests; matched-seed tests showed equal-or-lower per-sample variance
+    # here, so this does not flatter the TPU side)
+    baseline_s = (nr_ests + cfg.nr_rough_iters) / BASELINE_SOLVES_PER_SEC
+    print(
+        f"# G102 end-to-end: {time_to_1pct:.1f}s  trace={trace:.4f} "
+        f"(oracle {ORACLE:.4f}, |rel err|={rel_err:.4f}, stderr={stderr:.3f}, "
+        f"n={nr_ests})  reference at 0.096 solves/s: ~{baseline_s:.0f}s",
+        file=sys.stderr,
+    )
+
+    # ---- 2. probe-solve throughput at the f32 solve target ----
+    B = 128   # measured sweet spot (64: 65 solves/s, 128: 131, 256: 79)
+    # attainable complex64 residual is eps*kappa ~ 1e-4 for this operator;
+    # the trace needs only 1e-2, so 5e-4 is the honest f32 solve target
+    # (bias bound: tests/test_bias.py)
     tol = 5e-4
     probes = make_probe_source("jax", 7)
     d = hier.levels[0].perm_shift
+    mv = solver.matvec(0)
+    pc = solver.precond(0)
 
     def one_batch(start):
         X = probes(start, B, op.n, jnp.float32)
         Xd = shift_rows_down_pair(X, d)
-        res = fgmres(mv, Xd, tol=tol, restart=cfg.solver.restart,
-                     max_restarts=cfg.solver.max_restarts, precond=pc)
-        return res
+        return fgmres(mv, Xd, tol=tol, restart=cfg.solver.restart,
+                      max_restarts=cfg.solver.max_restarts, precond=pc)
 
-    # warmup/compile
-    t0 = time.time()
-    res = one_batch(0)
+    res = one_batch(0)   # warmup (cache-compiled already by phase 1)
     jax.block_until_ready(res.x.re)
-    compile_s = time.time() - t0
-    relres = np.asarray(res.resnorm / res.bnorm)
-    iters = np.asarray(res.iters)
-    print(
-        f"# warmup(+compile): {compile_s:.1f}s  iters={iters.min()}..{iters.max()} "
-        f"relres_max={relres.max():.2e}",
-        file=sys.stderr,
-    )
-
-    from deflatedmlmc_schwinger_tpu.utils.profiling import maybe_trace
-
     reps = 4
     t0 = time.time()
     with maybe_trace():  # DMLMC_PROFILE=<dir> captures an XLA trace
@@ -106,18 +134,58 @@ def main() -> None:
         jax.block_until_ready(res.x.re)
     dt = time.time() - t0
     solves_per_sec = reps * B / dt
+    relres = float(np.max(np.asarray(res.resnorm / res.bnorm)))
     print(
-        f"# {reps} batches x {B} probes in {dt:.2f}s -> "
-        f"{solves_per_sec:.2f} solves/s",
+        f"# {reps}x{B} probe solves @tol={tol:g} in {dt:.2f}s -> "
+        f"{solves_per_sec:.1f} solves/s (relres_max={relres:.2e})",
         file=sys.stderr,
     )
+
+    # ---- 3. stencil matvec roofline ----
+    X = probes(0, B, op.n, jnp.float32)
+    mv_jit = jax.jit(mv)
+    jax.block_until_ready(mv_jit(X).re)
+    iters = 20
+    t0 = time.time()
+    Y = X
+    for _ in range(iters):
+        Y = mv_jit(Y)
+    jax.block_until_ready(Y.re)
+    dt_mv = (time.time() - t0) / iters
+    # traffic per apply: read (B,n) pair + write (B,n) pair in f32; the
+    # coefficient fields (2*2*5*nx*nt pair) are shared across the batch
+    bytes_per = 2 * (2 * B * op.n * 4) + 2 * 2 * 2 * 5 * op.n // 2 * 4
+    # 9 stencil nonzeros/row, 8 real flops per complex multiply-add
+    flops_per = B * op.n * 9 * 8
+    gbs = bytes_per / dt_mv / 1e9
+    gflops = flops_per / dt_mv / 1e9
+    print(
+        f"# stencil matvec (B={B}): {dt_mv*1e6:.0f} us/apply -> "
+        f"{gbs:.0f} GB/s ({100*gbs/HBM_PEAK_GBS:.0f}% of HBM peak), "
+        f"{gflops:.0f} GFLOP/s",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             dict(
-                metric="probe_solves_per_sec_per_chip_schwinger128",
-                value=round(solves_per_sec, 3),
-                unit="probe-solves/s",
-                vs_baseline=round(solves_per_sec / BASELINE_SOLVES_PER_SEC, 1),
+                metric="wall_time_to_1pct_error_s_schwinger128_G102",
+                value=round(time_to_1pct, 1),
+                unit="s",
+                vs_baseline=round(baseline_s / time_to_1pct, 1),
+                extra=dict(
+                    trace_rel_err=round(rel_err, 5),
+                    trace_stderr=round(float(stderr), 4),
+                    nr_ests=nr_ests,
+                    setup_s=round(setup_s, 1),
+                    probe_solves_per_sec_at_tol_5em4=round(solves_per_sec, 1),
+                    probe_solves_vs_baseline=round(
+                        solves_per_sec / BASELINE_SOLVES_PER_SEC, 1
+                    ),
+                    stencil_hbm_gbs=round(gbs, 1),
+                    stencil_hbm_frac_of_peak=round(gbs / HBM_PEAK_GBS, 3),
+                    stencil_gflops=round(gflops, 1),
+                ),
             )
         )
     )

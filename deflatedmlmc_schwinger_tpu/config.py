@@ -120,9 +120,18 @@ class TraceConfig:
     # 'dense' forces dense matrices (the coarsest is always dense -- its
     # inverse is precomputed)
     coarse_format: str = "auto"
-    # eigensolver effort for setup (Chebyshev-filtered subspace iteration)
+    # where the one-time hierarchy setup runs: 'host' (numpy/scipy -- the
+    # fast path; setup is a few GFLOPs but the device path pays ~1 s/program
+    # in executable load over a tunneled TPU link, see mg/host_setup.py) or
+    # 'device' (CheFSI/Galerkin on the accelerator; for lattices whose fine
+    # matvec is too large for host numpy)
+    setup_backend: str = "host"
+    # eigensolver effort for setup (Chebyshev-filtered subspace iteration);
+    # coarse levels warm-start from the restricted fine test vectors and
+    # need fewer rounds (None -> max(2, subspace_iters // 2))
     chebyshev_degree: int = 100
     subspace_iters: int = 8
+    subspace_iters_coarse: Optional[int] = None
     # mesh axis name for sample data-parallelism
     sample_axis: str = "samples"
     # mesh axis name for lattice domain decomposition (fine-level solves run

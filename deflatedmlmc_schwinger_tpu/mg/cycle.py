@@ -217,12 +217,19 @@ class MGSolver:
 
     def _roots_for(self, level_index: int):
         if level_index not in self._poly_roots:
-            import jax
+            pre = self.hier.poly_roots
+            if (pre is not None and level_index < len(pre)
+                    and len(pre[level_index]) == self.cfg.smooth_iters):
+                # precomputed at host setup -- zero device matvecs
+                self._poly_roots[level_index] = np.asarray(pre[level_index])
+            else:
+                import jax
 
-            lev = self.hier.levels[level_index]
-            self._poly_roots[level_index] = gmres_poly_roots(
-                jax.jit(lev.op.matvec), lev.n, lev.op.dtype, self.cfg.smooth_iters
-            )
+                lev = self.hier.levels[level_index]
+                self._poly_roots[level_index] = gmres_poly_roots(
+                    jax.jit(lev.op.matvec), lev.n, lev.op.dtype,
+                    self.cfg.smooth_iters,
+                )
         return self._poly_roots[level_index]
 
     # -- cached closures ----------------------------------------------------

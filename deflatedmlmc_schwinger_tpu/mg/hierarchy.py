@@ -193,6 +193,13 @@ class MGLevel:
 class Hierarchy:
     levels: Tuple[MGLevel, ...]
     coarsest_inv: CP  # pair dense inverse of the coarsest operator
+    # GMRES-residual-polynomial smoother roots per non-coarsest level,
+    # precomputed at setup when the hierarchy is built host-side (None ->
+    # MGSolver computes them lazily with device matvecs). Static metadata:
+    # tuple of tuples of complex.
+    poly_roots: Optional[Tuple[Tuple[complex, ...], ...]] = struct.field(
+        pytree_node=False, default=None
+    )
 
     @property
     def nr_levels(self) -> int:

@@ -50,8 +50,10 @@ from deflatedmlmc_schwinger_tpu.solvers.eigs import (
 )
 
 
-def build_P_blocks(tv: np.ndarray, L: int, phase_period: int, rdtype) -> BlockProlongator:
-    """Build the block prolongator from host test vectors tv (n, k)."""
+def p_blocks_host(tv: np.ndarray, L: int, phase_period: int) -> np.ndarray:
+    """Host (na, L, 2k) complex prolongator blocks from test vectors tv (n, k):
+    per-aggregate spin-phase column split + batched QR (the reference's
+    Python quad loops + CGS, multigrid.py:192-259)."""
     n, k = tv.shape
     if n % L:
         raise ValueError(f"lattice size {n} not divisible by aggregate size {L}")
@@ -68,6 +70,12 @@ def build_P_blocks(tv: np.ndarray, L: int, phase_period: int, rdtype) -> BlockPr
         phase = np.where(np.abs(d) > 0, d / np.maximum(np.abs(d), 1e-300), 1.0)
         Q = Q * np.conj(phase)[:, None, :]
         blocks[:, idx[:, None], off + np.arange(k)[None, :]] = Q
+    return blocks
+
+
+def build_P_blocks(tv: np.ndarray, L: int, phase_period: int, rdtype) -> BlockProlongator:
+    """Build the block prolongator from host test vectors tv (n, k)."""
+    blocks = p_blocks_host(tv, L, phase_period)
     return BlockProlongator(
         blocks=CP(
             jnp.asarray(blocks.real.astype(np.dtype(rdtype))),
@@ -172,9 +180,16 @@ def galerkin_block_stencil(
     return BlockStencilOperator(blocks=blocks, offsets=offsets)
 
 
-def _test_vectors(op, k: int, cfg: TraceConfig, seed: int, tol: float) -> np.ndarray:
+def _test_vectors(
+    op, k: int, cfg: TraceConfig, seed: int, tol: float,
+    V0: Optional[np.ndarray] = None,
+) -> np.ndarray:
     """Near-kernel test vectors of the level pair operator (reference modes
-    'EVs' | 'LSVs' | 'RSVs', multigrid.py:159-188). Returns host (n, k)."""
+    'EVs' | 'LSVs' | 'RSVs', multigrid.py:159-188). Returns host (n, k).
+
+    ``V0`` warm-starts the subspace iteration (MG setup passes the restricted
+    finer-level test vectors: tv is in range(P) by construction, so R tv is
+    an approximate near-kernel of the Galerkin coarse operator)."""
     import jax
 
     mode = cfg.test_vectors_type
@@ -184,10 +199,15 @@ def _test_vectors(op, k: int, cfg: TraceConfig, seed: int, tol: float) -> np.nda
     # separate dispatch -- measured 133 s/level over a tunneled TPU link
     mvA = jax.jit(op.matvec)
     mvQ = jax.jit(lambda v: gamma3_pair(op.matvec(v)))
+    rounds = cfg.subspace_iters
+    if V0 is not None:
+        rounds = (cfg.subspace_iters_coarse
+                  if cfg.subspace_iters_coarse is not None
+                  else max(2, cfg.subspace_iters // 2))
     if mode in ("RSVs", "LSVs"):
         res = chebyshev_filtered_smallest(
             mvQ, op.n, k, rdtype=rdtype, seed=seed,
-            degree=cfg.chebyshev_degree, rounds=cfg.subspace_iters, tol=tol,
+            degree=cfg.chebyshev_degree, rounds=rounds, tol=tol, V0=V0,
         )
         V = res.vectors
         if mode == "LSVs":
@@ -197,7 +217,7 @@ def _test_vectors(op, k: int, cfg: TraceConfig, seed: int, tol: float) -> np.nda
     elif mode == "EVs":
         _, V = smallest_eigpairs_nonhermitian(
             mvA, mvQ, op.n, k, rdtype=rdtype, seed=seed,
-            degree=cfg.chebyshev_degree, rounds=cfg.subspace_iters,
+            degree=cfg.chebyshev_degree, rounds=rounds, V0=V0,
         )
         return V
     raise ValueError(f"unknown test_vectors_type {mode!r}")
@@ -210,7 +230,19 @@ def setup_hierarchy(
     key=None,  # retained for API compatibility; seeding is cfg.seed-derived
 ) -> Hierarchy:
     """Build the multigrid hierarchy for the fine operator op0
-    (StencilOperator or PairStencilOperator)."""
+    (StencilOperator or PairStencilOperator).
+
+    Dispatches on cfg.setup_backend: 'host' runs the numpy/scipy twin
+    (mg/host_setup.py -- the fast path on tunneled TPUs), 'device' runs the
+    CheFSI/Galerkin phases below on the accelerator."""
+    if cfg.setup_backend == "host":
+        from deflatedmlmc_schwinger_tpu.mg.host_setup import setup_hierarchy_host
+
+        return setup_hierarchy_host(op0, cfg)
+    if cfg.setup_backend != "device":
+        raise ValueError(
+            f"setup_backend must be 'host' or 'device', got {cfg.setup_backend!r}"
+        )
     if isinstance(op0, StencilOperator):
         op0 = pair_operator(op0)
     rdtype = op0.dtype
@@ -231,13 +263,25 @@ def setup_hierarchy(
     # level-0 displacement shift (reference: multigrid.py:148-150)
     perm_shift = 2 * cfg.nt * cfg.x_displacement if cfg.use_permuted else 0
 
+    tv_warm: Optional[np.ndarray] = None
     for i in range(max_levels - 1):
         L = aggrs[i] * dof[i]
         phase_period = dof[i] if i == 0 else dof[i] // 2
         k = dof[i + 1] // 2
-        tv = _test_vectors(cur_op, k, cfg, cfg.seed + 977 * i, eig_tol)
+        tv = _test_vectors(cur_op, k, cfg, cfg.seed + 977 * i, eig_tol,
+                           V0=tv_warm)
         P = build_P_blocks(tv, L, phase_period, rdtype)
         levels.append(MGLevel(op=cur_op, P=P, perm_shift=perm_shift))
+        # warm start for the next level's test vectors: tv in range(P), so
+        # R tv is an approximate near-kernel of the coarse Galerkin operator
+        tv_warm = np.asarray(
+            cplx.to_complex(
+                P.apply_adjoint(
+                    CP(jnp.asarray(np.ascontiguousarray(tv.real.T), rdtype),
+                       jnp.asarray(np.ascontiguousarray(tv.imag.T), rdtype))
+                )
+            ).T
+        )
         # coarse-level shift (reference: multigrid.py:321-326)
         perm_shift = (perm_shift // L) * dof[i + 1] if cfg.use_permuted else 0
         is_coarsest = i + 1 == max_levels - 1

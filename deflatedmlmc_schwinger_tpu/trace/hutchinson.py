@@ -46,10 +46,13 @@ from deflatedmlmc_schwinger_tpu.utils.timer import PhaseTimer
 
 
 def hutchinson_step_batch(op, solver: MGSolver, cfg: TraceConfig,
-                          defl: Deflation, probes, fine_solver=None):
+                          defl: Deflation, probes, fine_solver=None,
+                          gather: bool = True):
     """One batch of deflated Hutchinson estimates (reference:
     utils.py:210-250). probes is a (B, n) CP pair; returns host
-    (estimates complex (B,), per-row iteration counts).
+    (estimates complex (B,), per-row iteration counts), or -- with
+    ``gather=False`` -- the (B,) CP estimates and iteration counts as DEVICE
+    values for the device-resident stopping path (trace/stats.py).
 
     ``fine_solver``: optional solver for the fine-level systems -- the
     lattice-sharded ShardedMGSolver when running on a ('samples', 'x') mesh
@@ -61,6 +64,8 @@ def hutchinson_step_batch(op, solver: MGSolver, cfg: TraceConfig,
         x_def = shift_rows_down_pair(x_def, d)
     res = (fine_solver or solver).solve(x_def, cfg.function_tol)
     e = cplx.cdot(x, res.x)                  # (B,) pair
+    if not gather:
+        return e, res.iters
     # global_values assembles the full batch on every process (multi-host
     # runs shard the batch across processes; single-process it is asarray),
     # so moments and stopping decisions are identical everywhere
@@ -202,24 +207,57 @@ def hutchinson(
         nshards = mesh.shape[cfg.sample_axis]
         if B % nshards:
             raise ValueError(f"probe_batch {B} not divisible by mesh axis {nshards}")
+    # device-resident stopping state (SURVEY.md section 5.8 item (d)): on the
+    # single-process non-checkpointing path the moments live on device and
+    # only a stop bool crosses the host link per batch; checkpointing and
+    # multi-process runs need the estimates host-side anyway and keep the
+    # gathered path
+    use_device_stats = state_ckpt is None and mesh is None
     with timer.phase("sampling"):
         start = resume_at
-        while start < cfg.max_nr_ests:
-            X = probes(start, B, n, rdtype)
-            if mesh is not None:
-                X = shard_batch(X, mesh, cfg.sample_axis)
-            es, iters = hutchinson_step_batch(op, solver, cfg, defl, X, fine_solver)
-            moments.update_batch(es)
-            function_iters += int(np.sum(iters))
-            start += B
-            if state_ckpt:
-                EstimatorState(
-                    moments={"hutchinson": moments},
-                    next_index={"hutchinson": start},
-                    iters={"hutchinson": function_iters},
-                ).save(state_ckpt)
-            if should_stop(moments, rough_trace_tol, cfg.min_nr_ests):
-                break
+        if use_device_stats:
+            import jax
+
+            from deflatedmlmc_schwinger_tpu.trace.stats import (
+                device_moments_init,
+                device_moments_to_host,
+                device_moments_update,
+                device_should_stop,
+            )
+
+            dm = device_moments_init(rdtype)
+            upd = jax.jit(device_moments_update)
+            stop_fn = jax.jit(device_should_stop)
+            while start < cfg.max_nr_ests:
+                X = probes(start, B, n, rdtype)
+                e, iters = hutchinson_step_batch(
+                    op, solver, cfg, defl, X, fine_solver, gather=False
+                )
+                dm = upd(dm, e.re, e.im, iters)
+                start += B
+                if bool(stop_fn(dm, rough_trace_tol, cfg.min_nr_ests)):
+                    break
+            moments = moments.merge(device_moments_to_host(dm))
+            function_iters += int(np.asarray(dm.iters))
+        else:
+            while start < cfg.max_nr_ests:
+                X = probes(start, B, n, rdtype)
+                if mesh is not None:
+                    X = shard_batch(X, mesh, cfg.sample_axis)
+                es, iters = hutchinson_step_batch(
+                    op, solver, cfg, defl, X, fine_solver
+                )
+                moments.update_batch(es)
+                function_iters += int(np.sum(iters))
+                start += B
+                if state_ckpt:
+                    EstimatorState(
+                        moments={"hutchinson": moments},
+                        next_index={"hutchinson": start},
+                        iters={"hutchinson": function_iters},
+                    ).save(state_ckpt)
+                if should_stop(moments, rough_trace_tol, cfg.min_nr_ests):
+                    break
 
     # ---- results (stoch_trace.py:165-176) ----
     nnz = level_nnz(hier)

@@ -78,6 +78,7 @@ def mlmc_step_batch(
     probes: jnp.ndarray,
     skip_level: bool,
     fine_solver=None,
+    gather: bool = True,
 ):
     """One batch of difference-level estimates (reference: utils.py:252-357).
     Returns (estimates (B,), fine iters (B,), coarse iters (B,), coarse_level).
@@ -122,6 +123,9 @@ def mlmc_step_batch(
     w = prolong(y)
     e2 = cplx.cdot(x0, w)
     e = e1 - e2
+    if not gather:
+        # device values for the device-resident stopping path (trace/stats.py)
+        return e, res_f.iters, iters2, coarse
     # full batch on every process (see trace/hutchinson.py)
     from deflatedmlmc_schwinger_tpu.parallel.distributed import global_values
 
@@ -308,27 +312,64 @@ def mlmc(
             if start:
                 log(f"level {i}: resuming at sample {start} (n={moments.count})")
             n_i = hier.levels[i].n
-            while start < cfg.max_nr_ests:
-                if should_stop(moments, level_trace_tol, cfg.min_nr_ests):
-                    break
-                X = probes(start, B, n_i, hier.levels[i].op.dtype)
-                if mesh is not None:
-                    X = shard_batch(X, mesh, cfg.sample_axis)
-                es, it1, it2, coarse = mlmc_step_batch(
-                    solver, cfg, i, defls[i], X, skip_level, fine_solver
+            # device-resident stopping state on the single-process
+            # non-checkpointing path (SURVEY.md section 5.8 item (d)): per
+            # batch only a stop bool crosses the host link
+            if state_ckpt is None and mesh is None:
+                import jax
+
+                from deflatedmlmc_schwinger_tpu.trace.stats import (
+                    device_moments_init,
+                    device_moments_to_host,
+                    device_moments_update,
+                    device_should_stop,
                 )
-                moments.update_batch(es)
-                results[i]["function_iters"] += int(np.sum(it1))
-                results[coarse]["function_iters"] += int(np.sum(it2))
-                start += B
-                if state_ckpt:
-                    state.moments[key] = moments
-                    state.next_index[key] = start
-                    state.iters = {
-                        f"level{j}": results[j]["function_iters"]
-                        for j in range(nr_levels)
-                    }
-                    state.save(state_ckpt)
+
+                rdt = hier.levels[i].op.dtype
+                dm = device_moments_init(rdt)
+                it2_acc = jnp.zeros((), rdt)
+                upd = jax.jit(device_moments_update)
+                stop_fn = jax.jit(device_should_stop)
+                coarse = None
+                while start < cfg.max_nr_ests:
+                    # no checkpoint on this path, so `moments` is empty at
+                    # entry and dm alone carries the level's statistics
+                    if bool(stop_fn(dm, level_trace_tol, cfg.min_nr_ests)):
+                        break
+                    X = probes(start, B, n_i, rdt)
+                    e, it1, it2, coarse = mlmc_step_batch(
+                        solver, cfg, i, defls[i], X, skip_level, fine_solver,
+                        gather=False,
+                    )
+                    dm = upd(dm, e.re, e.im, it1)
+                    it2_acc = it2_acc + jnp.sum(it2).astype(rdt)
+                    start += B
+                moments = moments.merge(device_moments_to_host(dm))
+                results[i]["function_iters"] += int(np.asarray(dm.iters))
+                if coarse is not None:
+                    results[coarse]["function_iters"] += int(np.asarray(it2_acc))
+            else:
+                while start < cfg.max_nr_ests:
+                    if should_stop(moments, level_trace_tol, cfg.min_nr_ests):
+                        break
+                    X = probes(start, B, n_i, hier.levels[i].op.dtype)
+                    if mesh is not None:
+                        X = shard_batch(X, mesh, cfg.sample_axis)
+                    es, it1, it2, coarse = mlmc_step_batch(
+                        solver, cfg, i, defls[i], X, skip_level, fine_solver
+                    )
+                    moments.update_batch(es)
+                    results[i]["function_iters"] += int(np.sum(it1))
+                    results[coarse]["function_iters"] += int(np.sum(it2))
+                    start += B
+                    if state_ckpt:
+                        state.moments[key] = moments
+                        state.next_index[key] = start
+                        state.iters = {
+                            f"level{j}": results[j]["function_iters"]
+                            for j in range(nr_levels)
+                        }
+                        state.save(state_ckpt)
             results[i]["nr_ests"] += moments.count
             results[i]["ests_avg"] = moments.mean + defls[i].tr1
             results[i]["ests_dev"] = moments.std_dev

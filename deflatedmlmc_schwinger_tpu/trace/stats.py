@@ -65,3 +65,74 @@ class RunningMoments:
 def should_stop(m: RunningMoments, tol_target: float, min_samples: int) -> bool:
     """Reference break condition (stoch_trace.py:153: i>=5 i.e. n>=6)."""
     return bool(m.count >= min_samples and m.error_est < tol_target)
+
+
+# ---- device-resident stopping state (SURVEY.md section 5.8 item (d)) -------
+#
+# The estimator loops solve a probe batch per iteration; pulling the (B,)
+# estimate array to the host every batch forces a device sync and ships data
+# the stopping rule does not need.  DeviceMoments keeps (count, mean, m2) as
+# device scalars, merges each batch with the same Chan update as
+# RunningMoments, and evaluates the stopping predicate on device -- only ONE
+# bool crosses the host link per batch.  Used on the single-process,
+# non-checkpointing path; the host RunningMoments path remains for
+# checkpoint persistence and multi-process gathers (which need the estimates
+# on the host anyway).
+
+from typing import NamedTuple  # noqa: E402
+
+
+class DeviceMoments(NamedTuple):
+    count: object   # () f32/f64
+    mean_re: object
+    mean_im: object
+    m2: object
+    iters: object   # accumulated solver iterations (device scalar)
+
+
+def device_moments_init(rdtype):
+    import jax.numpy as jnp
+
+    z = jnp.zeros((), rdtype)
+    return DeviceMoments(z, z, z, z, z)
+
+
+def device_moments_update(dm: DeviceMoments, es_re, es_im, iters) -> DeviceMoments:
+    """Chan-merge a batch of estimates into the device moments (jit-safe;
+    identical arithmetic to RunningMoments.update_batch)."""
+    import jax.numpy as jnp
+
+    nb = jnp.asarray(es_re.size, es_re.dtype)
+    bre = jnp.mean(es_re)
+    bim = jnp.mean(es_im)
+    bm2 = jnp.sum((es_re - bre) ** 2 + (es_im - bim) ** 2)
+    na = dm.count
+    tot = na + nb
+    dre = bre - dm.mean_re
+    dim = bim - dm.mean_im
+    f = jnp.where(na > 0, nb / tot, 1.0)
+    mean_re = jnp.where(na > 0, dm.mean_re + dre * f, bre)
+    mean_im = jnp.where(na > 0, dm.mean_im + dim * f, bim)
+    m2 = jnp.where(
+        na > 0, dm.m2 + bm2 + (dre * dre + dim * dim) * na * nb / tot, bm2
+    )
+    return DeviceMoments(tot, mean_re, mean_im, m2,
+                         dm.iters + jnp.sum(iters).astype(dm.iters.dtype))
+
+
+def device_should_stop(dm: DeviceMoments, tol_target: float, min_samples: int):
+    """Device bool: n >= min_samples and sqrt(m2/n)/sqrt(n) < tol_target."""
+    import jax.numpy as jnp
+
+    err = jnp.sqrt(dm.m2 / jnp.maximum(dm.count, 1.0)) / jnp.sqrt(
+        jnp.maximum(dm.count, 1.0)
+    )
+    return jnp.logical_and(dm.count >= min_samples, err < tol_target)
+
+
+def device_moments_to_host(dm: DeviceMoments) -> RunningMoments:
+    return RunningMoments(
+        count=int(np.asarray(dm.count)),
+        mean=complex(float(np.asarray(dm.mean_re)), float(np.asarray(dm.mean_im))),
+        m2=float(np.asarray(dm.m2)),
+    )

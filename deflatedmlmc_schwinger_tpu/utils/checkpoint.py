@@ -70,12 +70,25 @@ def save_hierarchy(hier: Hierarchy, path: str) -> None:
             entry["has_P"] = False
         meta.append(entry)
     arrays["coarsest_inv_re"], arrays["coarsest_inv_im"] = _cp_to_np(hier.coarsest_inv)
-    np.savez_compressed(path, __meta__=json.dumps(meta), **arrays)
+    extra = {"levels": meta}
+    if hier.poly_roots is not None:
+        extra["poly_roots"] = [
+            [[t.real, t.imag] for t in lev_roots] for lev_roots in hier.poly_roots
+        ]
+    np.savez_compressed(path, __meta__=json.dumps(extra), **arrays)
 
 
 def load_hierarchy(path: str, rdtype=jnp.float32) -> Hierarchy:
     with np.load(path, allow_pickle=False) as z:
-        meta = json.loads(str(z["__meta__"]))
+        extra = json.loads(str(z["__meta__"]))
+        # pre-poly_roots checkpoints stored the level list directly
+        meta = extra["levels"] if isinstance(extra, dict) else extra
+        poly_roots = None
+        if isinstance(extra, dict) and "poly_roots" in extra:
+            poly_roots = tuple(
+                tuple(complex(re, im) for re, im in lev_roots)
+                for lev_roots in extra["poly_roots"]
+            )
         levels = []
         for i, entry in enumerate(meta):
             if entry["kind"] == "stencil":
@@ -97,7 +110,8 @@ def load_hierarchy(path: str, rdtype=jnp.float32) -> Hierarchy:
                 )
             levels.append(MGLevel(op=op, P=P, perm_shift=entry["perm_shift"]))
         coarsest_inv = _np_to_cp(z["coarsest_inv_re"], z["coarsest_inv_im"], rdtype)
-    return Hierarchy(levels=tuple(levels), coarsest_inv=coarsest_inv)
+    return Hierarchy(levels=tuple(levels), coarsest_inv=coarsest_inv,
+                     poly_roots=poly_roots)
 
 
 @dataclasses.dataclass

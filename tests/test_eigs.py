@@ -50,6 +50,34 @@ def test_subspace_iteration_largest_dense():
     np.testing.assert_allclose(np.sort(np.abs(res.values)), want, rtol=1e-4)
 
 
+def test_subspace_iteration_largest_clustered_pm_pairs():
+    """Indefinite spectrum with near-degenerate +/- pairs at the top -- the
+    MLMC difference operator's shape (VERDICT round-1 weak item 8: plain
+    block power iteration can stall on clustered +/- lambda).  The top
+    cluster is {+5, -5, +4.995, -4.995}: power iteration cannot separate the
+    pair magnitudes, so convergence must come from the Rayleigh--Ritz
+    extraction over a buffered subspace."""
+    rng = np.random.default_rng(7)
+    n = 80
+    lam = np.concatenate(
+        [[5.0, -5.0, 4.995, -4.995, 3.0, -3.0], rng.uniform(-1.0, 1.0, n - 6)]
+    )
+    M = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    U, _ = np.linalg.qr(M)
+    H = (U * lam[None, :]) @ U.conj().T
+    H = (H + H.conj().T) / 2
+    res = subspace_iteration_largest(
+        dense_pair_matvec(H), n, 4, rdtype=jnp.float64, seed=3, rounds=60,
+        buffer=10, tol=1e-3,
+    )
+    want = np.sort(np.abs(lam))[-4:]
+    np.testing.assert_allclose(np.sort(np.abs(res.values)), want, rtol=1e-3)
+    # signs of the +/- pair must both be recovered (not a doubled +lambda)
+    top = np.sort(res.values[np.argsort(-np.abs(res.values))[:2]])
+    assert top[0] < 0 < top[1]
+    assert (res.resnorms < 1e-1).all()  # reference-loose acceptance
+
+
 def test_inverse_iteration_smallest_dense():
     rng = np.random.default_rng(2)
     n = 50
