@@ -76,6 +76,12 @@ def main() -> None:
         probe_batch=128,
         dtype=jnp.complex64,
         solver=SolverConfig(restart=40, smoother="poly"),
+        # sampling solves at the bias-bounded f32 target instead of the c64
+        # floor (3e-7): tests/test_bias.py measures the trace bias of
+        # 5e-4-tolerance solves at ~1e-3 of |trace| -- an order of magnitude
+        # under the 1% budget -- and solves at the floor cost 2.5x more wall
+        # clock (they run past the stall cutoff; measured on-chip r3)
+        function_tol=5e-4,
     )
 
     # ---- 1. end-to-end time to 1% relative error (G102) ----
@@ -142,14 +148,17 @@ def main() -> None:
     )
 
     # ---- 3. stencil matvec roofline ----
+    # measured INSIDE one jitted fori_loop: per-dispatch latency over the
+    # tunneled device link is ~1 ms and would otherwise swamp the kernel
+    # (r2 reported 1563 us/apply; the kernel itself runs in ~460 us)
+    from jax import lax
+
     X = probes(0, B, op.n, jnp.float32)
-    mv_jit = jax.jit(mv)
-    jax.block_until_ready(mv_jit(X).re)
-    iters = 20
+    iters = 50
+    chain = jax.jit(lambda v: lax.fori_loop(0, iters, lambda i, y: mv(y), v))
+    jax.block_until_ready(chain(X).re)
     t0 = time.time()
-    Y = X
-    for _ in range(iters):
-        Y = mv_jit(Y)
+    Y = chain(X)
     jax.block_until_ready(Y.re)
     dt_mv = (time.time() - t0) / iters
     # traffic per apply: read (B,n) pair + write (B,n) pair in f32; the

@@ -152,50 +152,153 @@ def gmres_poly_roots(matvec: Callable, n: int, rdtype, m: int, seed: int = 29):
     return theta[order]
 
 
-def build_v_cycle(levels, coarsest_inv: CP, smoothers) -> Callable[[CP], CP]:
+def poly_smoother(matvec: Callable, r: CP, roots, with_residual: bool = False):
+    """x = p(A) r with p the fixed GMRES residual-polynomial inverse:
+    x += cur/theta_k ; cur -= A cur/theta_k. No reductions.
+
+    The recurrence keeps cur = r - A x, so the smoothed residual is free:
+    ``with_residual`` returns (x, r - A x) using m matvecs; otherwise the
+    final operator application is skipped (m-1 matvecs) and x alone returns."""
+    x = None
+    cur = r
+    for k, th in enumerate(roots):
+        inv = 1.0 / th
+        ir, ii = float(inv.real), float(inv.imag)
+        step = CP(ir * cur.re - ii * cur.im, ir * cur.im + ii * cur.re)
+        x = step if x is None else x + step
+        if k == len(roots) - 1 and not with_residual:
+            break
+        cur = cur - matvec(step)
+    if with_residual:
+        return x, cur
+    return x
+
+
+def _use_fused_stencil(op) -> bool:
+    from deflatedmlmc_schwinger_tpu.ops.dirac import PairStencilOperator
+    from deflatedmlmc_schwinger_tpu.ops.pallas_stencil import pallas_available
+
+    return isinstance(op, PairStencilOperator) and pallas_available(op.nx, op.nt)
+
+
+def _interp() -> bool:
+    import jax
+
+    return jax.default_backend() != "tpu"
+
+
+def residual(op, b: CP, x: CP) -> CP:
+    """r = b - A x; fused single-pass Pallas kernel on the fine stencil level
+    (ops/pallas_stencil.py), XLA elsewhere."""
+    if _use_fused_stencil(op):
+        from deflatedmlmc_schwinger_tpu.ops.pallas_stencil import (
+            stencil_residual_pallas,
+        )
+
+        return stencil_residual_pallas(
+            op.coeffs, b, x, op.nx, op.nt, interpret=_interp()
+        )
+    return b - op.matvec(x)
+
+
+class PolySmoother:
+    """GMRES-residual-polynomial smoother (zero inner products).
+
+    ``op``: pass the level's PairStencilOperator to fuse the whole recurrence
+    into one Pallas kernel on TPU (every root application stays in VMEM; the
+    unfused path pays one stencil launch + ~3 HBM elementwise passes per
+    root). The smoother interface (smooth / smooth_residual over an explicit
+    matvec) is shared with GmresSmoother so build_v_cycle is smoother-
+    agnostic, and the lattice-sharded solve can pass its halo matvec."""
+
+    def __init__(self, roots, op=None):
+        self.roots = tuple(complex(t) for t in roots)
+        self._op = op if (op is not None and _use_fused_stencil(op)) else None
+
+    def smooth(self, matvec: Callable, r: CP) -> CP:
+        if self._op is not None:
+            from deflatedmlmc_schwinger_tpu.ops.pallas_stencil import (
+                stencil_poly_smooth_pallas,
+            )
+
+            x, _ = stencil_poly_smooth_pallas(
+                self._op.coeffs, r, self.roots, self._op.nx, self._op.nt,
+                with_residual=False, interpret=_interp(),
+            )
+            return x
+        return poly_smoother(matvec, r, self.roots)
+
+    def smooth_residual(self, matvec: Callable, b: CP):
+        if self._op is not None:
+            from deflatedmlmc_schwinger_tpu.ops.pallas_stencil import (
+                stencil_poly_smooth_pallas,
+            )
+
+            return stencil_poly_smooth_pallas(
+                self._op.coeffs, b, self.roots, self._op.nx, self._op.nt,
+                with_residual=True, interpret=_interp(),
+            )
+        return poly_smoother(matvec, b, self.roots, with_residual=True)
+
+
+class GmresSmoother:
+    """Adaptive fixed-step GMRES smoothing (reference lgmres semantics)."""
+
+    def __init__(self, iters: int, axis_name=None):
+        self.iters = int(iters)
+        self.axis_name = axis_name
+
+    def smooth(self, matvec: Callable, r: CP) -> CP:
+        return gmres_smoother(matvec, r, self.iters, self.axis_name)
+
+    def smooth_residual(self, matvec: Callable, b: CP):
+        x = self.smooth(matvec, b)
+        return x, b - matvec(x)
+
+
+def build_v_cycle(levels, coarsest_inv: CP, smoothers,
+                  with_residual: bool = False) -> Callable:
     """V-cycle closure over an explicit level tuple (pair-native): descend
-    with smooth/residual/restrict, dense precomputed inverse on the coarsest,
+    with smooth+residual/restrict, dense precomputed inverse on the coarsest,
     ascend with prolong-correct/residual/post-smooth (reference:
-    multigrid.py:369-447). ``smoothers[i]`` pairs with ``levels[i]``.
+    multigrid.py:369-447). ``smoothers[i]`` pairs with ``levels[i]`` and is a
+    PolySmoother/GmresSmoother-like object.
+
+    ``with_residual``: also return the top level's final residual
+    b - A x_out (free from the post-smoother's recurrence) -- the caller's
+    next operator application is then just b - r (MGSolver.precond_matvec).
 
     Standalone so the lattice-sharded fine-level solve can reuse the SAME
     coarse-cycle code inside shard_map (parallel/sharded_solve.py): the
     level-0 V-cycle factors as smooth0 + P0 . v_cycle(levels[1:]) . R0 +
     post-smooth0."""
 
-    def v_cycle(b: CP) -> CP:
+    def v_cycle(b: CP):
         bs = [b]
         xs = []
         for lev, sm in zip(levels[:-1], smoothers):
-            x = sm(lev.op.matvec, bs[-1])
-            r = bs[-1] - lev.op.matvec(x)
+            x, r = sm.smooth_residual(lev.op.matvec, bs[-1])
             xs.append(x)
             bs.append(lev.P.apply_adjoint(r))
         xc = cplx.matmul_right(bs[-1], coarsest_inv)
-        for lev, sm, x, bf in zip(
-            levels[-2::-1], smoothers[::-1], xs[::-1], bs[-2::-1]
+        out_res = None
+        n_up = len(levels) - 1
+        for idx, (lev, sm, x, bf) in enumerate(
+            zip(levels[-2::-1], smoothers[::-1], xs[::-1], bs[-2::-1])
         ):
             x = x + lev.P.apply(xc)
-            r = bf - lev.op.matvec(x)
-            x = x + sm(lev.op.matvec, r)
+            r = residual(lev.op, bf, x)
+            if with_residual and idx == n_up - 1:
+                dx, out_res = sm.smooth_residual(lev.op.matvec, r)
+                x = x + dx
+            else:
+                x = x + sm.smooth(lev.op.matvec, r)
             xc = x
+        if with_residual:
+            return xc, out_res
         return xc
 
     return v_cycle
-
-
-def poly_smoother(matvec: Callable, r: CP, roots) -> CP:
-    """x = p(A) r with p the fixed GMRES residual-polynomial inverse:
-    x += cur/theta_k ; cur -= A cur/theta_k. No reductions, m matvecs."""
-    x = None
-    cur = r
-    for th in roots:
-        inv = 1.0 / th
-        ir, ii = float(inv.real), float(inv.imag)
-        step = CP(ir * cur.re - ii * cur.im, ir * cur.im + ii * cur.re)
-        x = step if x is None else x + step
-        cur = cur - matvec(step)
-    return x
 
 
 class MGSolver:
@@ -239,26 +342,50 @@ class MGSolver:
             self._matvecs[level] = op.matvec
         return self._matvecs[level]
 
+    def _smoothers(self, level: int):
+        levels = self.hier.levels[level:]
+        if self.cfg.smoother == "poly":
+            return [
+                PolySmoother(self._roots_for(level + i), op=lev.op)
+                for i, lev in enumerate(levels[:-1])
+            ]
+        return [GmresSmoother(self.cfg.smooth_iters)] * (len(levels) - 1)
+
     def precond(self, level: int = 0) -> Callable:
         if level not in self._preconds:
-            levels = self.hier.levels[level:]
-            coarsest_inv = self.hier.coarsest_inv
-            smooth_iters = self.cfg.smooth_iters
-            if self.cfg.smoother == "poly":
-                roots = [
-                    self._roots_for(level + i) for i in range(len(levels) - 1)
-                ]
-                smoothers = [
-                    (lambda mv, r, th=th: poly_smoother(mv, r, th))
-                    for th in roots
-                ]
-            else:
-                smoothers = [
-                    (lambda mv, r: gmres_smoother(mv, r, smooth_iters))
-                ] * (len(levels) - 1)
-
-            self._preconds[level] = build_v_cycle(levels, coarsest_inv, smoothers)
+            self._preconds[level] = build_v_cycle(
+                self.hier.levels[level:], self.hier.coarsest_inv,
+                self._smoothers(level),
+            )
         return self._preconds[level]
+
+    def precond_matvec(self, level: int = 0) -> Callable:
+        """(z, A z) in one pass: the V-cycle emits its own final residual r =
+        v - A z (free from the post-smoother recurrence), so the outer
+        Arnoldi's operator application is the subtraction v - r instead of a
+        full stencil matvec (solvers/fgmres.py ``matvec_precond``).
+
+        NOT wired into ``solve``: measured on-chip (r3), XLA schedules the
+        tuple-returning preconditioner inside the Arnoldi while-loop ~11x
+        slower than the separate precond+matvec pair (0.58 s -> 6.4 s per
+        128-probe batch) despite identical iteration counts -- the saved
+        stencil matvec (~8% of an iteration) is dwarfed by whatever
+        buffer-aliasing/scheduling choice the tuple return triggers. Kept
+        (and tested) as the algebraically-equal fused form; revisit when the
+        toolchain changes."""
+        key = ("pm", level)
+        if key not in self._preconds:
+            vc = build_v_cycle(
+                self.hier.levels[level:], self.hier.coarsest_inv,
+                self._smoothers(level), with_residual=True,
+            )
+
+            def pm(v: CP):
+                z, r = vc(v)
+                return z, v - r
+
+            self._preconds[key] = pm
+        return self._preconds[key]
 
     # -- solves -------------------------------------------------------------
     def solve(

@@ -62,10 +62,20 @@ class BlockStencilOperator:
     blocks[j, k] is the (dc, dc) coupling of block-row j to block-column
     (j + offsets[k]) mod nac; the matvec is K rolls + batched pair einsums
     (loop-safe everywhere).
+
+    ``gmat``/``gwin``: optional grouped-band packing (pack_grouped): block
+    rows are grouped G at a time and each group's band becomes one dense
+    (K_win, G*dc) matrix, so the matvec is a batch of MXU-shaped matmuls
+    (N = G*dc = 128 output lanes) instead of per-block contractions with
+    N = dc = 16 (which leave 7/8 of the MXU idle -- the measured dominant
+    cost of coarse V-cycle levels on-chip).
     """
 
     blocks: CP  # (nac, K, dc, dc)
     offsets: Tuple[int, ...] = struct.field(pytree_node=False, default=())
+    gmat: Optional[CP] = None        # (ngroups, nwin*dc, G*dc) packed bands
+    gwin: Optional[jnp.ndarray] = None  # (ngroups, nwin) int32 block columns
+    G: int = struct.field(pytree_node=False, default=0)
 
     @property
     def n(self) -> int:
@@ -76,14 +86,20 @@ class BlockStencilOperator:
         return self.blocks.re.dtype
 
     def matvec(self, v: CP) -> CP:
-        """One gather + one einsum (not K rolls + 4K einsums: the roll form
-        costs ~70 dispatches per apply, and coarse-level applies dominated
-        the V-cycle's op count in on-chip profiles)."""
+        """Grouped-band batched matmul when packed; otherwise one gather +
+        one einsum (not K rolls + 4K einsums: the roll form costs ~70
+        dispatches per apply)."""
         import numpy as np
 
         nac, K, dc, _ = self.blocks.re.shape
         batch = v.re.shape[:-1]
         xa = v.reshape(batch + (nac, dc))
+        if self.gmat is not None:
+            ngroups, nwin = self.gwin.shape
+            xw = CP(xa.re[..., self.gwin, :], xa.im[..., self.gwin, :])
+            xw = xw.reshape(batch + (ngroups, nwin * dc))
+            out = cplx.einsum2("...gk,gkn->...gn", xw, self.gmat)
+            return out.reshape(batch + (nac * dc,))
         idx = (np.arange(nac)[None, :] + np.asarray(self.offsets)[:, None]) % nac
         xg = CP(xa.re[..., idx, :], xa.im[..., idx, :])   # (..., K, nac, dc)
         out = cplx.einsum2("akij,...kaj->...ai", self.blocks, xg)
@@ -99,6 +115,83 @@ class BlockStencilOperator:
                 j2 = (j + off) % nac
                 C[j * dc : (j + 1) * dc, j2 * dc : (j2 + 1) * dc] = b[j, k]
         return C
+
+
+def pack_grouped(
+    op: BlockStencilOperator, group: int = 8, max_fill: float = 4.0
+) -> BlockStencilOperator:
+    """Pack a cyclic block stencil into grouped-band matrices for the MXU.
+
+    Block rows are grouped ``group`` at a time; the offsets are clustered on
+    the cyclic index circle (the Galerkin operators of this problem couple
+    within a small band around 0 plus a band around nac/2 -- the spin
+    halves), and each cluster contributes a contiguous window of block
+    columns per group. The matvec then contracts the gathered window
+    (nwin*dc) against one (nwin*dc, G*dc) matrix per group: N = G*dc = 128
+    fills the MXU's output tile where the per-block form leaves N = dc = 16.
+
+    The packed form pads the band with zeros (window overlap + cluster
+    fill); packing is skipped when the padded work exceeds ``max_fill``
+    times the exact block count, or when the grouping does not divide nac.
+    Host-side, one-time, exact (tests/test_mg.py packed-vs-unpacked)."""
+    import numpy as np
+
+    nac, K, dc, _ = op.blocks.re.shape
+    G = int(group)
+    if op.gmat is not None or nac % G or nac < 2 * G:
+        return op
+    offs = sorted(int(o) % nac for o in op.offsets)
+    # cluster cyclically: split where the gap between consecutive offsets
+    # exceeds G (separate windows are then cheaper than one merged band)
+    gaps = [(offs[(i + 1) % len(offs)] - offs[i]) % nac for i in range(len(offs))]
+    splits = [i for i, g in enumerate(gaps) if g > G]
+    if not splits:                       # one dense ring -> nothing to win
+        return op
+    clusters = []
+    start = (splits[-1] + 1) % len(offs)
+    ordered = offs[start:] + offs[:start]
+    cur = [ordered[0]]
+    for o in ordered[1:]:
+        if (o - cur[-1]) % nac > G:
+            clusters.append(cur)
+            cur = [o]
+        else:
+            cur.append(o)
+    clusters.append(cur)
+    # window of relative block columns per cluster: [c0, c0 + span + G - 1]
+    rel = []
+    for c in clusters:
+        c0 = c[0]
+        span = (c[-1] - c0) % nac + 1
+        rel.extend(((c0 + j) % nac) for j in range(span + G - 1))
+    nwin = len(rel)
+    if nwin * dc > max_fill * K * dc or nwin >= nac:
+        return op
+    ngroups = nac // G
+    rel_arr = np.asarray(rel)
+    gwin = (np.arange(ngroups)[:, None] * G + rel_arr[None, :]) % nac
+    # column w of group g holds block column gwin[g, w]; place blocks[a, k]
+    # at [w*dc + j, r*dc + i] (out = x_window @ gmat)
+    wpos = {int(r): w for w, r in enumerate(rel_arr)}
+    B = np.asarray(cplx.to_complex(op.blocks))
+    gmat = np.zeros((ngroups, nwin * dc, G * dc), dtype=B.dtype)
+    for r in range(G):
+        for k, off in enumerate(op.offsets):
+            w_rel = (np.asarray(off) + r) % nac
+            w = wpos[int(w_rel)]
+            blk = B[np.arange(ngroups) * G + r, k]          # (ngroups, dc, dc)
+            gmat[:, w * dc:(w + 1) * dc, r * dc:(r + 1) * dc] = (
+                blk.transpose(0, 2, 1)
+            )
+    rdt = np.dtype(op.blocks.re.dtype)
+    return BlockStencilOperator(
+        blocks=op.blocks,
+        offsets=op.offsets,
+        gmat=CP(jnp.asarray(gmat.real.astype(rdt)),
+                jnp.asarray(gmat.imag.astype(rdt))),
+        gwin=jnp.asarray(gwin.astype(np.int32)),
+        G=G,
+    )
 
 
 def block_stencil_from_dense(
@@ -123,13 +216,13 @@ def block_stencil_from_dense(
     rows = np.arange(nac)
     for k, off in enumerate(offsets):
         blocks[:, k] = Cb[rows, (rows + off) % nac]
-    return BlockStencilOperator(
+    return pack_grouped(BlockStencilOperator(
         blocks=CP(
             jnp.asarray(blocks.real.astype(np.dtype(rdtype))),
             jnp.asarray(blocks.imag.astype(np.dtype(rdtype))),
         ),
         offsets=tuple(offsets),
-    )
+    ))
 
 
 @struct.dataclass

@@ -37,6 +37,7 @@ from deflatedmlmc_schwinger_tpu.mg.hierarchy import (
     DenseOperator,
     Hierarchy,
     MGLevel,
+    pack_grouped,
 )
 from deflatedmlmc_schwinger_tpu.mg.setup import p_blocks_host
 from deflatedmlmc_schwinger_tpu.ops.cplx import CP
@@ -206,13 +207,13 @@ def _block_stencil_host(
     kidx = np.searchsorted(offsets, offs)
     blocks = np.zeros((nac, len(offsets), dc, dc), dtype=np.complex128)
     blocks[j1, kidx, row % dc, col % dc] = dat
-    return BlockStencilOperator(
+    return pack_grouped(BlockStencilOperator(
         blocks=CP(
             jnp.asarray(blocks.real.astype(np.dtype(rdtype))),
             jnp.asarray(blocks.imag.astype(np.dtype(rdtype))),
         ),
         offsets=tuple(int(o) for o in offsets),
-    )
+    ))
 
 
 def _poly_roots_host(A: sp.csr_matrix, m: int, seed: int = 29) -> Tuple[complex, ...]:

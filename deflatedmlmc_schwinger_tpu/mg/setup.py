@@ -35,6 +35,7 @@ from deflatedmlmc_schwinger_tpu.mg.hierarchy import (
     DenseOperator,
     Hierarchy,
     MGLevel,
+    pack_grouped,
 )
 from deflatedmlmc_schwinger_tpu.ops import cplx
 from deflatedmlmc_schwinger_tpu.ops.cplx import CP
@@ -177,7 +178,7 @@ def galerkin_block_stencil(
     if len(offsets) > max_offsets:
         return None
     blocks = _gather_blocks(S, offsets)
-    return BlockStencilOperator(blocks=blocks, offsets=offsets)
+    return pack_grouped(BlockStencilOperator(blocks=blocks, offsets=offsets))
 
 
 def _test_vectors(

@@ -59,10 +59,10 @@ def _shift(x: jnp.ndarray, d: int, axis: int) -> jnp.ndarray:
     return jnp.concatenate([lo, hi], axis=axis)
 
 
-def _stencil_kernel(cr_ref, ci_ref, vr_ref, vi_ref, yr_ref, yi_ref):
-    """One batch block: y[s,x,t] = sum_{s',k} C[s,s',k,x,t] v[s',x+dx,t+dt]."""
-    vr = vr_ref[:]  # (Bb, 2, X, T)
-    vi = vi_ref[:]
+def _apply_taps(cr_ref, ci_ref, vr, vi):
+    """y[s,x,t] = sum_{s',k} C[s,s',k,x,t] v[s',x+dx,t+dt] on one VMEM block
+    (Bb, 2, X, T); returns the stacked (yr, yi). Shared by every kernel so the
+    fused smoother/residual kernels apply the operator without leaving VMEM."""
     out_r = [None, None]
     out_i = [None, None]
     for k, (dx, dt) in enumerate(TAPS):
@@ -80,8 +80,59 @@ def _stencil_kernel(cr_ref, ci_ref, vr_ref, vi_ref, yr_ref, yi_ref):
                 ti = cr * vbi + ci * vbr
                 out_r[a] = tr if out_r[a] is None else out_r[a] + tr
                 out_i[a] = ti if out_i[a] is None else out_i[a] + ti
-    yr_ref[:] = jnp.stack(out_r, axis=1)
-    yi_ref[:] = jnp.stack(out_i, axis=1)
+    return jnp.stack(out_r, axis=1), jnp.stack(out_i, axis=1)
+
+
+def _stencil_kernel(cr_ref, ci_ref, vr_ref, vi_ref, yr_ref, yi_ref):
+    """One batch block: y = A v."""
+    yr, yi = _apply_taps(cr_ref, ci_ref, vr_ref[:], vi_ref[:])
+    yr_ref[:] = yr
+    yi_ref[:] = yi
+
+
+def _residual_kernel(cr_ref, ci_ref, br_ref, bi_ref, xr_ref, xi_ref,
+                     rr_ref, ri_ref):
+    """One batch block: r = b - A x, a single VMEM pass (the unfused form is
+    one stencil launch plus an HBM round-trip for the subtraction)."""
+    yr, yi = _apply_taps(cr_ref, ci_ref, xr_ref[:], xi_ref[:])
+    rr_ref[:] = br_ref[:] - yr
+    ri_ref[:] = bi_ref[:] - yi
+
+
+def _poly_kernel(roots, with_residual, cr_ref, ci_ref, rr_ref, ri_ref,
+                 *out_refs):
+    """One batch block of the GMRES-polynomial smoother (mg/cycle.py
+    poly_smoother): x = p(A) r via the residual recurrence
+
+        cur_0 = r;  step_k = cur_k / theta_k;  x += step_k;
+        cur_{k+1} = cur_k - A step_k
+
+    entirely in VMEM -- the unfused form launches one stencil kernel plus
+    ~3 HBM-round-trip elementwise passes per root. ``cur`` after the last
+    update IS the smoothed residual r - A x; ``with_residual`` keeps the
+    final A application and writes it (the V-cycle's descent needs it),
+    otherwise the last application is skipped entirely (m-1 applies)."""
+    cur_r = rr_ref[:]
+    cur_i = ri_ref[:]
+    xr = None
+    xi = None
+    for k, th in enumerate(roots):
+        inv = 1.0 / th
+        ir, ii = float(inv.real), float(inv.imag)
+        sr = ir * cur_r - ii * cur_i
+        si = ir * cur_i + ii * cur_r
+        xr = sr if xr is None else xr + sr
+        xi = si if xi is None else xi + si
+        if k == len(roots) - 1 and not with_residual:
+            break
+        ar, ai = _apply_taps(cr_ref, ci_ref, sr, si)
+        cur_r = cur_r - ar
+        cur_i = cur_i - ai
+    out_refs[0][:] = xr
+    out_refs[1][:] = xi
+    if with_residual:
+        out_refs[2][:] = cur_r
+        out_refs[3][:] = cur_i
 
 
 def _batch_block(B: int, nx: int, nt: int, itemsize: int) -> int:
@@ -94,27 +145,30 @@ def _batch_block(B: int, nx: int, nt: int, itemsize: int) -> int:
     return bb
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4))
-def _stencil_pallas_call(coeffs: CP, v: CP, nx: int, nt: int, interpret: bool) -> CP:
-    B = v.re.shape[0]
-    bb = _batch_block(B, nx, nt, v.re.dtype.itemsize)
+def _grid_call(kernel, coeffs: CP, fields, nx: int, nt: int, n_out: int,
+               n_applies: int, interpret: bool):
+    """Launch ``kernel`` over probe-batch blocks: the coefficient tensor rides
+    whole in VMEM, every field/output is blocked (bb, 2, X, T). ``fields`` is
+    a flat list of real arrays (re/im interleaved); returns ``n_out`` arrays."""
+    B = fields[0].shape[0]
+    rdtype = fields[0].dtype
+    bb = _batch_block(B, nx, nt, rdtype.itemsize)
     cspec = pl.BlockSpec(
         (2, 2, 5, nx, nt), lambda i: (0, 0, 0, 0, 0), memory_space=pltpu.VMEM
     )
     vspec = pl.BlockSpec(
         (bb, 2, nx, nt), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
     )
-    flops = B * 5 * 4 * nx * nt * 8  # ~8 real flops per (tap, spin-pair) site
-    bytes_acc = (B * 2 * 2 * 2 + 2 * 2 * 5 * 2) * nx * nt * v.re.dtype.itemsize
-    yr, yi = pl.pallas_call(
-        _stencil_kernel,
+    flops = n_applies * B * 5 * 4 * nx * nt * 8  # ~8 real flops/(tap, spin-pair)
+    bytes_acc = (
+        B * 2 * (len(fields) + n_out) + 2 * 2 * 5 * 2
+    ) * nx * nt * rdtype.itemsize
+    return pl.pallas_call(
+        kernel,
         grid=(B // bb,),
-        in_specs=[cspec, cspec, vspec, vspec],
-        out_specs=[vspec, vspec],
-        out_shape=[
-            jax.ShapeDtypeStruct((B, 2, nx, nt), v.re.dtype),
-            jax.ShapeDtypeStruct((B, 2, nx, nt), v.im.dtype),
-        ],
+        in_specs=[cspec, cspec] + [vspec] * len(fields),
+        out_specs=[vspec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((B, 2, nx, nt), rdtype)] * n_out,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_acc, transcendentals=0
         ),
@@ -122,7 +176,14 @@ def _stencil_pallas_call(coeffs: CP, v: CP, nx: int, nt: int, interpret: bool) -
             vmem_limit_bytes=_VMEM_LIMIT
         ),
         interpret=interpret,
-    )(coeffs.re, coeffs.im, v.re, v.im)
+    )(coeffs.re, coeffs.im, *fields)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _stencil_pallas_call(coeffs: CP, v: CP, nx: int, nt: int, interpret: bool) -> CP:
+    yr, yi = _grid_call(
+        _stencil_kernel, coeffs, [v.re, v.im], nx, nt, 2, 1, interpret
+    )
     return CP(yr, yi)
 
 
@@ -140,6 +201,70 @@ def stencil_matvec_pallas(
     g = v.reshape((B, 2, nx, nt))
     y = _stencil_pallas_call(coeffs, g, nx, nt, interpret)
     return y.reshape(batch + (2 * nx * nt,))
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _residual_pallas_call(coeffs: CP, b: CP, x: CP, nx: int, nt: int,
+                          interpret: bool) -> CP:
+    rr, ri = _grid_call(
+        _residual_kernel, coeffs, [b.re, b.im, x.re, x.im], nx, nt, 2, 1,
+        interpret,
+    )
+    return CP(rr, ri)
+
+
+def stencil_residual_pallas(
+    coeffs: CP, b: CP, x: CP, nx: int, nt: int, *, interpret: bool = False
+) -> CP:
+    """r = b - A x for flat pair vectors (..., 2*nx*nt), one fused pass."""
+    batch = b.re.shape[:-1]
+    B = 1
+    for s in batch:
+        B *= s
+    r = _residual_pallas_call(
+        coeffs, b.reshape((B, 2, nx, nt)), x.reshape((B, 2, nx, nt)),
+        nx, nt, interpret,
+    )
+    return r.reshape(batch + (2 * nx * nt,))
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _poly_pallas_call(coeffs: CP, r: CP, roots, with_residual: bool,
+                      nx: int, nt: int, interpret: bool):
+    kernel = functools.partial(_poly_kernel, roots, with_residual)
+    n_out = 4 if with_residual else 2
+    n_applies = len(roots) if with_residual else len(roots) - 1
+    out = _grid_call(
+        kernel, coeffs, [r.re, r.im], nx, nt, n_out, n_applies, interpret
+    )
+    if with_residual:
+        return CP(out[0], out[1]), CP(out[2], out[3])
+    return CP(out[0], out[1]), None
+
+
+def stencil_poly_smooth_pallas(
+    coeffs: CP, r: CP, roots, nx: int, nt: int, *,
+    with_residual: bool = False, interpret: bool = False,
+):
+    """x = p(A) r with p the fixed GMRES residual-polynomial inverse
+    (mg/cycle.py poly_smoother), every root application fused in VMEM.
+
+    Returns (x, r - A x) when ``with_residual`` (the final smoothed residual
+    falls out of the recurrence for free), else (x, None) -- skipping the
+    last operator application entirely."""
+    batch = r.re.shape[:-1]
+    B = 1
+    for s in batch:
+        B *= s
+    roots = tuple(complex(t) for t in roots)
+    x, cur = _poly_pallas_call(
+        coeffs, r.reshape((B, 2, nx, nt)), roots, bool(with_residual),
+        nx, nt, interpret,
+    )
+    x = x.reshape(batch + (2 * nx * nt,))
+    if cur is not None:
+        cur = cur.reshape(batch + (2 * nx * nt,))
+    return x, cur
 
 
 def pallas_available(nx: int, nt: int, backend: str | None = None) -> bool:

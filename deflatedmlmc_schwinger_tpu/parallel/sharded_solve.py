@@ -44,6 +44,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from deflatedmlmc_schwinger_tpu.config import SolverConfig
 from deflatedmlmc_schwinger_tpu.mg.cycle import (
+    GmresSmoother,
+    PolySmoother,
     build_v_cycle,
     gmres_poly_roots,
     gmres_smoother,
@@ -129,24 +131,29 @@ class ShardedMGSolver:
         # psum'd dots on the fine level, plain dots on replicated coarse ones
         smooth_iters = self.cfg.smooth_iters
         if self.cfg.smoother == "poly":
+            pre = hier.poly_roots
             roots = [
-                gmres_poly_roots(
-                    jax.jit(lev.op.matvec), lev.n, lev.op.dtype, smooth_iters
-                )
-                for lev in hier.levels[:-1]
+                (np.asarray(pre[i]) if (pre is not None and i < len(pre)
+                                        and len(pre[i]) == smooth_iters)
+                 else gmres_poly_roots(
+                     jax.jit(lev.op.matvec), lev.n, lev.op.dtype, smooth_iters
+                 ))
+                for i, lev in enumerate(hier.levels[:-1])
             ]
+            # shard-local matvec; the fused-kernel fast path stays off (the
+            # halo matvec, not op.matvec, is the operator inside shard_map)
             self._sm0 = lambda mv, r: poly_smoother(mv, r, roots[0])
-            self._coarse_sms = [
-                (lambda mv, r, th=th: poly_smoother(mv, r, th))
-                for th in roots[1:]
-            ]
-        else:
-            self._sm0 = lambda mv, r: gmres_smoother(
-                mv, r, smooth_iters, axis_name=x_axis
+            self._sm0_res = lambda mv, b: poly_smoother(
+                mv, b, roots[0], with_residual=True
             )
-            self._coarse_sms = [
-                (lambda mv, r: gmres_smoother(mv, r, smooth_iters))
-            ] * (len(hier.levels) - 2)
+            self._coarse_sms = [PolySmoother(th) for th in roots[1:]]
+        else:
+            g0 = GmresSmoother(smooth_iters, axis_name=x_axis)
+            self._sm0 = g0.smooth
+            self._sm0_res = g0.smooth_residual
+            self._coarse_sms = [GmresSmoother(smooth_iters)] * (
+                len(hier.levels) - 2
+            )
 
         self._kernels = {}
 
@@ -160,6 +167,7 @@ class ShardedMGSolver:
         nx, nt, nc = self.nx, self.nt, self.nc
         Xl = nx // nshards
         sm0 = self._sm0
+        sm0_res = self._sm0_res
         coarse_sms = self._coarse_sms
         cfg = self.cfg
 
@@ -206,9 +214,9 @@ class ShardedMGSolver:
 
             def precond0(bv: CP) -> CP:
                 # the level-0 V-cycle factors as smooth0 + P0 . (coarse
-                # V-cycle) . R0 + post-smooth0 (mg/cycle.py build_v_cycle)
-                x = sm0(mv0, bv)
-                r = bv - mv0(x)
+                # V-cycle) . R0 + post-smooth0 (mg/cycle.py build_v_cycle);
+                # the descent residual falls out of the smoother recurrence
+                x, r = sm0_res(mv0, bv)
                 xc = coarse_v(restrict0(r))
                 x = x + prolong0(xc)
                 r = bv - mv0(x)

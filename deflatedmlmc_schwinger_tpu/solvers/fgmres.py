@@ -104,13 +104,13 @@ def _cp_set(arr: CP, idx, val: CP) -> CP:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "matvec", "precond", "restart", "max_restarts", "stall_ratio",
-        "stall_cycles", "axis_name", "pred_axis_names",
+        "matvec", "precond", "matvec_precond", "restart", "max_restarts",
+        "stall_ratio", "stall_cycles", "axis_name", "pred_axis_names",
     ),
 )
 def _fgmres_impl(matvec, precond, b: CP, x0: CP, tol_abs, restart,
                  max_restarts, stall_ratio, stall_cycles, axis_name=None,
-                 pred_axis_names=()):
+                 pred_axis_names=(), matvec_precond=None):
     B, n = b.re.shape
     m = restart
     rdtype = b.re.dtype
@@ -151,8 +151,14 @@ def _fgmres_impl(matvec, precond, b: CP, x0: CP, tol_abs, restart,
             active = res > tol_abs
             iters = iters + active.astype(jnp.int32)
             vj = V[j]
-            z = precond(vj)
-            w = matvec(z)
+            if matvec_precond is not None:
+                # fused preconditioner+operator: the V-cycle's own final
+                # residual gives A z = v - r, saving the outer stencil matvec
+                # per Arnoldi step (mg/cycle.py precond_matvec)
+                z, w = matvec_precond(vj)
+            else:
+                z = precond(vj)
+                w = matvec(z)
             Z = _cp_set(Z, j, z)
 
             hcol = cplx.czeros((B, m + 1), rdtype)
@@ -256,6 +262,7 @@ def fgmres(
     restart: int = 20,
     max_restarts: int = 10,
     precond: Optional[Callable[[CP], CP]] = None,
+    matvec_precond: Optional[Callable] = None,
     x0: Optional[CP] = None,
     stall_ratio: Optional[float] = 0.9,
     stall_cycles: int = 2,
@@ -263,6 +270,10 @@ def fgmres(
     pred_axis_names: tuple = (),
 ) -> FGMRESResult:
     """Solve A x = b for a batch of pair right-hand sides b (B, n).
+
+    ``matvec_precond``: optional fused v -> (z, A z) (z = M v); when given it
+    replaces the per-Arnoldi-step precond+matvec pair (restart-boundary true
+    residuals still use ``matvec``). Algebraically identical.
 
     ``stall_ratio``/``stall_cycles``: terminate after ``stall_cycles``
     consecutive restart cycles in which no active row improved by more than
@@ -293,7 +304,7 @@ def fgmres(
     x, res, iters, cycles = _fgmres_impl(
         matvec, precond, b, x0, tol_abs, int(restart), int(max_restarts),
         None if stall_ratio is None else float(stall_ratio), int(stall_cycles),
-        axis_name, tuple(pred_axis_names),
+        axis_name, tuple(pred_axis_names), matvec_precond=matvec_precond,
     )
     stalled = res > tol_abs
     if single:

@@ -31,6 +31,7 @@ from deflatedmlmc_schwinger_tpu.mg.hierarchy import (
     DenseOperator,
     Hierarchy,
     MGLevel,
+    pack_grouped,
 )
 from deflatedmlmc_schwinger_tpu.ops.cplx import CP
 from deflatedmlmc_schwinger_tpu.ops.dirac import PairStencilOperator
@@ -97,10 +98,10 @@ def load_hierarchy(path: str, rdtype=jnp.float32) -> Hierarchy:
                     nx=entry["nx"], nt=entry["nt"],
                 )
             elif entry["kind"] == "block_stencil":
-                op = BlockStencilOperator(
+                op = pack_grouped(BlockStencilOperator(
                     blocks=_np_to_cp(z[f"op{i}_re"], z[f"op{i}_im"], rdtype),
                     offsets=tuple(entry["offsets"]),
-                )
+                ))
             else:
                 op = DenseOperator(mat=_np_to_cp(z[f"op{i}_re"], z[f"op{i}_im"], rdtype))
             P = None

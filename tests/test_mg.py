@@ -191,3 +191,79 @@ def test_poly_smoother_vcycle_converges(op16):
     it_g = int(np.max(np.asarray(res_g.iters)))
     it_p = int(np.max(np.asarray(res_p.iters)))
     assert it_p <= 2 * it_g, (it_p, it_g)
+
+
+@pytest.mark.parametrize("smoother", ["poly", "gmres"])
+def test_vcycle_with_residual_emits_true_residual(hier16, smoother):
+    """build_v_cycle(with_residual=True) returns (z, b - A z)."""
+    from deflatedmlmc_schwinger_tpu.mg.cycle import MGSolver as _MGS
+    from deflatedmlmc_schwinger_tpu.mg.cycle import build_v_cycle
+
+    solver = _MGS(hier16, SolverConfig(smoother=smoother, smooth_iters=3))
+    vc = build_v_cycle(
+        hier16.levels, hier16.coarsest_inv, solver._smoothers(0),
+        with_residual=True,
+    )
+    rng = np.random.default_rng(31)
+    n = hier16.levels[0].n
+    b = cplx.from_complex(
+        rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))
+    )
+    z, r = vc(b)
+    r_true = b - hier16.levels[0].op.matvec(z)
+    np.testing.assert_allclose(
+        cplx.to_complex(r), cplx.to_complex(r_true), atol=1e-11
+    )
+    # and it agrees with the plain V-cycle
+    z2 = solver.precond(0)(b)
+    np.testing.assert_allclose(
+        cplx.to_complex(z), cplx.to_complex(z2), atol=1e-12
+    )
+
+
+def test_fused_matvec_precond_solve_matches_plain(hier16):
+    """MGSolver.solve routes through matvec_precond; it must produce the
+    same solutions/iterations as the explicit precond+matvec pair."""
+    from deflatedmlmc_schwinger_tpu.solvers.fgmres import fgmres
+
+    solver = MGSolver(hier16, SolverConfig(smoother="poly", smooth_iters=4))
+    rng = np.random.default_rng(37)
+    n = hier16.levels[0].n
+    b = cplx.from_complex(
+        rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n))
+    )
+    kw = dict(tol=1e-10, restart=20, max_restarts=10)
+    r1 = fgmres(solver.matvec(0), b, precond=solver.precond(0), **kw)
+    r2 = fgmres(solver.matvec(0), b,
+                matvec_precond=solver.precond_matvec(0), **kw)
+    assert np.array_equal(np.asarray(r1.iters), np.asarray(r2.iters))
+    np.testing.assert_allclose(
+        cplx.to_complex(r2.x), cplx.to_complex(r1.x), atol=1e-9
+    )
+    assert float(np.max(np.asarray(r2.resnorm / r2.bnorm))) < 1e-10
+
+
+def test_grouped_band_packing_exact(hier16, dense16):
+    """pack_grouped's MXU-shaped matvec is exact: packed == unpacked ==
+    dense oracle on the level-1 Galerkin operator."""
+    import dataclasses
+
+    from deflatedmlmc_schwinger_tpu.mg.hierarchy import (
+        BlockStencilOperator,
+        pack_grouped,
+    )
+
+    op1 = hier16.levels[1].op
+    if not isinstance(op1, BlockStencilOperator):
+        pytest.skip("level 1 not packed as a block stencil")
+    unpacked = BlockStencilOperator(blocks=op1.blocks, offsets=op1.offsets)
+    packed = pack_grouped(unpacked, group=8)
+    rng = np.random.default_rng(41)
+    n = op1.n
+    z = rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n))
+    v = cplx.from_complex(z)
+    y_un = cplx.to_complex(unpacked.matvec(v))
+    y_pk = cplx.to_complex(packed.matvec(v))
+    np.testing.assert_allclose(y_pk, y_un, atol=1e-12)
+    C = unpacked.complex_matrix()
+    np.testing.assert_allclose(y_pk, z @ C.T, atol=1e-11)
