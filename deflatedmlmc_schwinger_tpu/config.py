@@ -106,6 +106,16 @@ class TraceConfig:
 
     # ---- MLMC ----
     mlmc_levels_to_skip: Sequence[int] = (1,)
+    # Difference-level scheduling (SURVEY.md P2):
+    #   'sequential' -- reference parity: each level sampled to its own share
+    #     of the tolerance budget, one level after another
+    #     (stoch_trace.py:327-416);
+    #   'adaptive'  -- optimal MLMC allocation: levels are sampled in
+    #     interleaved batches, each batch going to the level with the largest
+    #     marginal variance reduction per unit cost, until the AGGREGATE
+    #     stderr sum_l V_l/n_l meets the total budget. Strictly cheaper than
+    #     fixed splits when level variances/costs are unbalanced.
+    mlmc_schedule: str = "sequential"
 
     # ---- displaced trace tr(D^-1 Pi) (reference: multigrid.py:141-155) ----
     use_permuted: bool = True

@@ -133,6 +133,105 @@ def mlmc_step_batch(
     return es, global_values(res_f.iters), global_values(iters2), coarse
 
 
+def _adaptive_sampling(
+    solver, cfg, hier, defls, rough_trace, results, state, state_ckpt,
+    probe_source, skip_level, fine_solver, mesh, log,
+):
+    """Optimal-allocation MLMC sampling (SURVEY.md P2): interleaved batches,
+    each issued to the level with the largest marginal variance reduction
+    per unit cost, until the AGGREGATE standard error of the telescoping sum
+    sqrt(sum_l V_l / n_l) meets the total budget |trace_tol * rough_trace|.
+
+    This is the classic optimal-MLMC allocation n_l ~ sqrt(V_l / C_l)
+    realized greedily from measured variances and batch wall-clock costs
+    (compile-skewed first measurements are replaced once a second batch
+    lands), instead of the reference's fixed per-level tolerance split
+    (stoch_trace.py:327-336). Same total-variance contract, strictly less
+    work when level variances/costs are unbalanced."""
+    import time as _time
+
+    from deflatedmlmc_schwinger_tpu.utils.checkpoint import EstimatorState
+
+    nr_levels = hier.nr_levels
+    B = int(cfg.probe_batch)
+    eps_tot = abs(cfg.trace_tol * rough_trace)
+    active = [
+        i for i in range(nr_levels - 1) if not (skip_level and i == 1)
+    ]
+    probes = {
+        i: make_probe_source(probe_source, cfg.seed + i) for i in active
+    }
+    moments = {
+        i: state.moments.get(f"level{i}", RunningMoments()) for i in active
+    }
+    starts = {i: state.next_index.get(f"level{i}", 0) for i in active}
+    costs: Dict[int, list] = {i: [] for i in active}
+    if mesh is not None:
+        from deflatedmlmc_schwinger_tpu.parallel import shard_batch
+
+    def run_batch(i: int):
+        t0 = _time.time()
+        n_i = hier.levels[i].n
+        X = probes[i](starts[i], B, n_i, hier.levels[i].op.dtype)
+        if mesh is not None:
+            X = shard_batch(X, mesh, cfg.sample_axis)
+        es, it1, it2, coarse = mlmc_step_batch(
+            solver, cfg, i, defls[i], X, skip_level, fine_solver
+        )
+        moments[i].update_batch(es)
+        results[i]["function_iters"] += int(np.sum(it1))
+        results[coarse]["function_iters"] += int(np.sum(it2))
+        starts[i] += B
+        dt = _time.time() - t0
+        c = costs[i]
+        if len(c) == 1:
+            c[0] = dt     # drop the compile-skewed first measurement
+        c.append(dt)
+        if state_ckpt:
+            state.moments[f"level{i}"] = moments[i]
+            state.next_index[f"level{i}"] = starts[i]
+            state.iters = {
+                f"level{j}": results[j]["function_iters"]
+                for j in range(nr_levels)
+            }
+            state.save(state_ckpt)
+
+    def agg_var() -> float:
+        return sum(
+            moments[i].std_dev ** 2 / moments[i].count
+            for i in active
+            if moments[i].count
+        )
+
+    # warm-up: one batch per level establishes (V_l, C_l)
+    for i in active:
+        if moments[i].count == 0:
+            run_batch(i)
+    while any(starts[i] < cfg.max_nr_ests for i in active):
+        done = all(moments[i].count >= cfg.min_nr_ests for i in active)
+        if done and agg_var() < eps_tot * eps_tot:
+            break
+        # greedy: marginal aggregate-variance drop of one more batch at
+        # level i is V_i/n_i - V_i/(n_i + B); normalize by the batch cost
+        def benefit(i: int) -> float:
+            m = moments[i]
+            v = m.std_dev ** 2
+            gain = v / m.count - v / (m.count + B)
+            cost = float(np.median(costs[i])) if costs[i] else 1.0
+            return gain / max(cost, 1e-9)
+
+        cand = [i for i in active if starts[i] < cfg.max_nr_ests]
+        run_batch(max(cand, key=benefit))
+    for i in active:
+        results[i]["nr_ests"] += moments[i].count
+        results[i]["ests_avg"] = moments[i].mean + defls[i].tr1
+        results[i]["ests_dev"] = moments[i].std_dev
+        log(
+            f"level {i}: {moments[i].count} ests (adaptive), trace "
+            f"{results[i]['ests_avg']:.6f}, dev {moments[i].std_dev:.4f}"
+        )
+
+
 def _tolerance_fractions(nr_levels: int, skip_level: bool):
     """Per-level variance-budget split (reference: stoch_trace.py:327-336)."""
     if nr_levels < 3:
@@ -299,84 +398,93 @@ def mlmc(
         results[j]["function_iters"] = int(state.iters.get(f"level{j}", 0))
     if mesh is not None:
         from deflatedmlmc_schwinger_tpu.parallel import shard_batch
-    with timer.phase("sampling"):
-        for i in range(nr_levels - 1):
-            if skip_level and i == 1:
-                continue
-            tol_fctr = _level_tol_factor(i, nr_levels, f0, f1, skip_level)
-            level_trace_tol = abs(cfg.trace_tol * rough_trace * tol_fctr)
-            probes = make_probe_source(probe_source, cfg.seed + i)
-            key = f"level{i}"
-            moments = state.moments.get(key, RunningMoments())
-            start = state.next_index.get(key, 0)
-            if start:
-                log(f"level {i}: resuming at sample {start} (n={moments.count})")
-            n_i = hier.levels[i].n
-            # device-resident stopping state on the single-process
-            # non-checkpointing path (SURVEY.md section 5.8 item (d)): per
-            # batch only a stop bool crosses the host link
-            if state_ckpt is None and mesh is None:
-                import jax
-
-                from deflatedmlmc_schwinger_tpu.trace.stats import (
-                    device_moments_init,
-                    device_moments_to_host,
-                    device_moments_update,
-                    device_should_stop,
-                )
-
-                rdt = hier.levels[i].op.dtype
-                dm = device_moments_init(rdt)
-                it2_acc = jnp.zeros((), rdt)
-                upd = jax.jit(device_moments_update)
-                stop_fn = jax.jit(device_should_stop)
-                coarse = None
-                while start < cfg.max_nr_ests:
-                    # no checkpoint on this path, so `moments` is empty at
-                    # entry and dm alone carries the level's statistics
-                    if bool(stop_fn(dm, level_trace_tol, cfg.min_nr_ests)):
-                        break
-                    X = probes(start, B, n_i, rdt)
-                    e, it1, it2, coarse = mlmc_step_batch(
-                        solver, cfg, i, defls[i], X, skip_level, fine_solver,
-                        gather=False,
-                    )
-                    dm = upd(dm, e.re, e.im, it1)
-                    it2_acc = it2_acc + jnp.sum(it2).astype(rdt)
-                    start += B
-                moments = moments.merge(device_moments_to_host(dm))
-                results[i]["function_iters"] += int(np.asarray(dm.iters))
-                if coarse is not None:
-                    results[coarse]["function_iters"] += int(np.asarray(it2_acc))
-            else:
-                while start < cfg.max_nr_ests:
-                    if should_stop(moments, level_trace_tol, cfg.min_nr_ests):
-                        break
-                    X = probes(start, B, n_i, hier.levels[i].op.dtype)
-                    if mesh is not None:
-                        X = shard_batch(X, mesh, cfg.sample_axis)
-                    es, it1, it2, coarse = mlmc_step_batch(
-                        solver, cfg, i, defls[i], X, skip_level, fine_solver
-                    )
-                    moments.update_batch(es)
-                    results[i]["function_iters"] += int(np.sum(it1))
-                    results[coarse]["function_iters"] += int(np.sum(it2))
-                    start += B
-                    if state_ckpt:
-                        state.moments[key] = moments
-                        state.next_index[key] = start
-                        state.iters = {
-                            f"level{j}": results[j]["function_iters"]
-                            for j in range(nr_levels)
-                        }
-                        state.save(state_ckpt)
-            results[i]["nr_ests"] += moments.count
-            results[i]["ests_avg"] = moments.mean + defls[i].tr1
-            results[i]["ests_dev"] = moments.std_dev
-            log(
-                f"level {i}: {moments.count} ests, trace "
-                f"{results[i]['ests_avg']:.6f}, dev {moments.std_dev:.4f}"
+    if cfg.mlmc_schedule == "adaptive":
+        with timer.phase("sampling"):
+            _adaptive_sampling(
+                solver, cfg, hier, defls, rough_trace, results, state,
+                state_ckpt, probe_source, skip_level, fine_solver, mesh, log,
             )
+    elif cfg.mlmc_schedule != "sequential":
+        raise ValueError(f"unknown mlmc_schedule {cfg.mlmc_schedule!r}")
+    else:
+        with timer.phase("sampling"):
+            for i in range(nr_levels - 1):
+                if skip_level and i == 1:
+                    continue
+                tol_fctr = _level_tol_factor(i, nr_levels, f0, f1, skip_level)
+                level_trace_tol = abs(cfg.trace_tol * rough_trace * tol_fctr)
+                probes = make_probe_source(probe_source, cfg.seed + i)
+                key = f"level{i}"
+                moments = state.moments.get(key, RunningMoments())
+                start = state.next_index.get(key, 0)
+                if start:
+                    log(f"level {i}: resuming at sample {start} (n={moments.count})")
+                n_i = hier.levels[i].n
+                # device-resident stopping state on the single-process
+                # non-checkpointing path (SURVEY.md section 5.8 item (d)): per
+                # batch only a stop bool crosses the host link
+                if state_ckpt is None and mesh is None:
+                    import jax
+
+                    from deflatedmlmc_schwinger_tpu.trace.stats import (
+                        device_moments_init,
+                        device_moments_to_host,
+                        device_moments_update,
+                        device_should_stop,
+                    )
+
+                    rdt = hier.levels[i].op.dtype
+                    dm = device_moments_init(rdt)
+                    it2_acc = jnp.zeros((), rdt)
+                    upd = jax.jit(device_moments_update)
+                    stop_fn = jax.jit(device_should_stop)
+                    coarse = None
+                    while start < cfg.max_nr_ests:
+                        # no checkpoint on this path, so `moments` is empty at
+                        # entry and dm alone carries the level's statistics
+                        if bool(stop_fn(dm, level_trace_tol, cfg.min_nr_ests)):
+                            break
+                        X = probes(start, B, n_i, rdt)
+                        e, it1, it2, coarse = mlmc_step_batch(
+                            solver, cfg, i, defls[i], X, skip_level, fine_solver,
+                            gather=False,
+                        )
+                        dm = upd(dm, e.re, e.im, it1)
+                        it2_acc = it2_acc + jnp.sum(it2).astype(rdt)
+                        start += B
+                    moments = moments.merge(device_moments_to_host(dm))
+                    results[i]["function_iters"] += int(np.asarray(dm.iters))
+                    if coarse is not None:
+                        results[coarse]["function_iters"] += int(np.asarray(it2_acc))
+                else:
+                    while start < cfg.max_nr_ests:
+                        if should_stop(moments, level_trace_tol, cfg.min_nr_ests):
+                            break
+                        X = probes(start, B, n_i, hier.levels[i].op.dtype)
+                        if mesh is not None:
+                            X = shard_batch(X, mesh, cfg.sample_axis)
+                        es, it1, it2, coarse = mlmc_step_batch(
+                            solver, cfg, i, defls[i], X, skip_level, fine_solver
+                        )
+                        moments.update_batch(es)
+                        results[i]["function_iters"] += int(np.sum(it1))
+                        results[coarse]["function_iters"] += int(np.sum(it2))
+                        start += B
+                        if state_ckpt:
+                            state.moments[key] = moments
+                            state.next_index[key] = start
+                            state.iters = {
+                                f"level{j}": results[j]["function_iters"]
+                                for j in range(nr_levels)
+                            }
+                            state.save(state_ckpt)
+                results[i]["nr_ests"] += moments.count
+                results[i]["ests_avg"] = moments.mean + defls[i].tr1
+                results[i]["ests_dev"] = moments.std_dev
+                log(
+                    f"level {i}: {moments.count} ests, trace "
+                    f"{results[i]['ests_avg']:.6f}, dev {moments.std_dev:.4f}"
+                )
 
     # ---- exact coarsest trace (stoch_trace.py:418-437) ----
     with timer.phase("coarsest"):

@@ -131,3 +131,26 @@ def test_mlmc_rejects_bad_skip(setup16):
         mlmc(op, cfg.replace(mlmc_levels_to_skip=(0,)), hier=hier, verbose=False)
     with pytest.raises(Exception, match="skip"):
         mlmc(op, cfg.replace(mlmc_levels_to_skip=(0, 1)), hier=hier, verbose=False)
+
+
+def test_mlmc_adaptive_schedule(setup16):
+    """SURVEY.md P2: optimal-allocation interleaved scheduling meets the
+    AGGREGATE tolerance contract and still matches the dense oracle."""
+    op, A, cfg, hier = setup16
+    c = cfg.replace(mlmc_schedule="adaptive")
+    r = mlmc(op, c, hier=hier, verbose=False)
+    err = abs(r["trace"] - EXACT16)
+    stderr = max(r["std_dev"], 1e-12)
+    assert err < 5 * stderr + 1e-6, (r["trace"], stderr)
+    # the aggregate stderr meets the total budget (the adaptive contract)
+    eps_tot = abs(c.trace_tol * r["rough_trace"])
+    assert r["std_dev"] < eps_tot
+    for res in r["results"][:-1]:
+        assert res["nr_ests"] >= c.min_nr_ests
+    assert r["results"][-1]["nr_ests"] == 1  # exact coarsest unchanged
+
+
+def test_mlmc_rejects_unknown_schedule(setup16):
+    op, A, cfg, hier = setup16
+    with pytest.raises(ValueError):
+        mlmc(op, cfg.replace(mlmc_schedule="nope"), hier=hier, verbose=False)
