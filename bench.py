@@ -88,9 +88,11 @@ def main() -> None:
     t0 = time.time()
     op, _ = load_operator(cfg.matrix, cfg.mass, latt_dims=cfg.latt_dims,
                           dtype=np.complex64)
-    op = pair_operator(op)
     t_setup0 = time.time()
+    # setup reads the coefficients on the HOST (setup_backend='host'); pass
+    # the host operator so no device->host download happens on the tunnel
     hier = setup_hierarchy(op, cfg)
+    op = pair_operator(op)
     jax.block_until_ready(hier.coarsest_inv.re)
     setup_s = time.time() - t_setup0
     print(f"# setup: {setup_s:.1f}s  sizes={hier.sizes()}", file=sys.stderr)

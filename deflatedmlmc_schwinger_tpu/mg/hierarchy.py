@@ -118,7 +118,8 @@ class BlockStencilOperator:
 
 
 def pack_grouped(
-    op: BlockStencilOperator, group: int = 8, max_fill: float = 4.0
+    op: BlockStencilOperator, group: int = 8, max_fill: float = 4.0,
+    host_blocks: Optional[np.ndarray] = None,
 ) -> BlockStencilOperator:
     """Pack a cyclic block stencil into grouped-band matrices for the MXU.
 
@@ -133,7 +134,12 @@ def pack_grouped(
     The packed form pads the band with zeros (window overlap + cluster
     fill); packing is skipped when the padded work exceeds ``max_fill``
     times the exact block count, or when the grouping does not divide nac.
-    Host-side, one-time, exact (tests/test_mg.py packed-vs-unpacked)."""
+    Host-side, one-time, exact (tests/test_mg.py packed-vs-unpacked).
+
+    ``host_blocks``: the numpy complex (nac, K, dc, dc) blocks when the
+    caller built them on the host -- avoids a device->host download of
+    ``op.blocks`` (each first transfer over a tunneled TPU link can stall
+    for tens of seconds)."""
     import numpy as np
 
     nac, K, dc, _ = op.blocks.re.shape
@@ -173,7 +179,8 @@ def pack_grouped(
     # column w of group g holds block column gwin[g, w]; place blocks[a, k]
     # at [w*dc + j, r*dc + i] (out = x_window @ gmat)
     wpos = {int(r): w for w, r in enumerate(rel_arr)}
-    B = np.asarray(cplx.to_complex(op.blocks))
+    B = (np.asarray(host_blocks) if host_blocks is not None
+         else np.asarray(cplx.to_complex(op.blocks)))
     gmat = np.zeros((ngroups, nwin * dc, G * dc), dtype=B.dtype)
     for r in range(G):
         for k, off in enumerate(op.offsets):
@@ -222,7 +229,7 @@ def block_stencil_from_dense(
             jnp.asarray(blocks.imag.astype(np.dtype(rdtype))),
         ),
         offsets=tuple(offsets),
-    ))
+    ), host_blocks=blocks)
 
 
 @struct.dataclass

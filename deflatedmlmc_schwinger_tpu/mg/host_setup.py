@@ -213,7 +213,7 @@ def _block_stencil_host(
             jnp.asarray(blocks.imag.astype(np.dtype(rdtype))),
         ),
         offsets=tuple(int(o) for o in offsets),
-    ))
+    ), host_blocks=blocks)
 
 
 def _poly_roots_host(A: sp.csr_matrix, m: int, seed: int = 29) -> Tuple[complex, ...]:

@@ -332,6 +332,78 @@ def inverse_iteration_smallest(
     return EigResult(result.values[:k], result.vectors[:, :k], result.resnorms[:k])
 
 
+class DeviceEigResult(NamedTuple):
+    values: np.ndarray    # (k,) real (host)
+    vectors: CP           # (k, n) ROW pairs, device-resident
+    resnorms: np.ndarray  # (k,) (host)
+
+
+def inverse_iteration_smallest_device(
+    matvec_pair: Callable,
+    apply_inv_pair: Callable,
+    n: int,
+    k: int,
+    *,
+    rdtype,
+    seed: int = 5,
+    rounds: int = 6,
+    buffer: Optional[int] = None,
+    tol: float = 0.0,
+    V0: Optional[np.ndarray] = None,
+) -> DeviceEigResult:
+    """Device-resident twin of ``inverse_iteration_smallest``: the subspace
+    stays on the device as (m, n) row pairs across rounds; per round only the
+    m x m Gram/projection matrices and the (m,) Ritz residuals cross the host
+    link. The host version round-trips the full (n, m) basis ~6 times per
+    round, which on a tunneled TPU dominates the deflation setup (measured:
+    each device<->host transfer pays 0.1-20 s of link latency)."""
+    m = buffer if buffer is not None else max(k + 2, int(round(1.25 * k)))
+    m = min(m, n)
+    if V0 is not None:
+        V = V0
+        m = V.shape[1]
+    else:
+        rng = np.random.default_rng(seed)
+        V = rng.standard_normal((n, m)) + 1j * rng.standard_normal((n, m))
+    V = _orth(V)
+    Vd = _to_pair_rows(V.T, rdtype)                  # device (m, n) rows
+    gram, project, recombine = _ritz_kernels_factory(matvec_pair)
+    eps = 1e3 * np.finfo(np.dtype(rdtype)).eps
+    def orth_T(Vd: CP) -> np.ndarray:
+        """Host m x m whitening transform T = chol(V V^H)^{-H}: rows of
+        T^T V are orthonormal (to working precision)."""
+        G = cplx.to_complex(gram(Vd))                # m x m down
+        Gs = 0.5 * (G + G.conj().T)
+        scale = float(np.real(np.trace(Gs))) / m
+        L = np.linalg.cholesky(Gs + (eps * scale) * np.eye(m))
+        return sla.solve_triangular(L.conj().T, np.eye(m), lower=False)
+
+    for r in range(rounds):
+        Vd = apply_inv_pair(Vd)                      # (m, n) batched solve
+        W, U, Ad, Bd = project(Vd, _to_pair_rows(orth_T(Vd), rdtype))
+        Y = _harmonic_small_solve(cplx.to_complex(Ad), cplx.to_complex(Bd), eps)
+        Vd, _, theta_d, res_d = recombine(W, U, _to_pair_rows(Y, rdtype))
+        res = np.asarray(res_d, dtype=np.float64)
+        if tol > 0 and float(np.max(res[:k])) < tol:
+            break
+    # Final extraction by PLAIN Rayleigh--Ritz on an orthonormalized basis:
+    # harmonic recombination (Y = L^{-H} Z) is not unitary, so the rows above
+    # are individually normalized but NOT mutually orthogonal -- a projector
+    # built from them under-deflates (measured ||U^H U - I|| ~ 0.7 in f32).
+    # Here Z is unitary, so X = Z^T W is orthonormal to working precision;
+    # ghosts are not a concern for the final pass because rounds of Q^{-1}
+    # have already purged the large-|lambda| content of the subspace.
+    W, U, Ad, _ = project(Vd, _to_pair_rows(orth_T(Vd), rdtype))
+    M = cplx.to_complex(Ad)                          # U^H W = W^H Q W
+    M = 0.5 * (M + M.conj().T)
+    mu, Z = np.linalg.eigh(M)
+    order = np.argsort(np.abs(mu))
+    Vd, _, theta_d, res_d = recombine(W, U, _to_pair_rows(Z[:, order], rdtype))
+    theta = np.asarray(theta_d, dtype=np.float64)
+    res = np.asarray(res_d, dtype=np.float64)
+    return DeviceEigResult(theta[:k], Vd[:k], res[:k])
+
+
 def subspace_iteration_largest(
     matvec_pair: Callable,
     n: int,

@@ -35,7 +35,6 @@ from deflatedmlmc_schwinger_tpu.ops.cplx import CP
 from deflatedmlmc_schwinger_tpu.ops.dirac import gamma3_pair
 from deflatedmlmc_schwinger_tpu.solvers.eigs import (
     _apply_cols,
-    inverse_iteration_smallest,
     subspace_iteration_largest,
 )
 
@@ -75,6 +74,14 @@ def hutchinson_deflation(
         return Deflation(U=None, tr1=0.0 + 0.0j)
     import jax
 
+    from deflatedmlmc_schwinger_tpu.ops.dirac import (
+        shift_rows_down_pair,
+        shift_rows_up_pair,
+    )
+    from deflatedmlmc_schwinger_tpu.solvers.eigs import (
+        inverse_iteration_smallest_device,
+    )
+
     rdtype = op.dtype
     # jitted: Ritz residual checks apply this eagerly (see mg/setup.py)
     mvQ = jax.jit(lambda v: gamma3_pair(op.matvec(v)))
@@ -85,37 +92,42 @@ def hutchinson_deflation(
     def apply_Qinv(v: CP) -> CP:  # Q^{-1} v = A^{-1} gamma3 v
         return solver.solve(gamma3_pair(v), solve_tol).x
 
-    eig = inverse_iteration_smallest(
+    # device-resident: the (k, n) basis never leaves the device; only k x k
+    # projections, eigenvalues, and the tr1 scalar cross the host link
+    eig = inverse_iteration_smallest_device(
         mvQ, apply_Qinv, op.n, k, rdtype=rdtype, seed=cfg.seed + seed_offset,
         rounds=rounds, tol=cfg.defl_eigvs_tol_Hutch,
     )
-    theta = eig.values                      # signed eigenvalues of Q
-    V = eig.vectors                         # host (n, k)
-    sgn = np.sign(theta)
-    half = V.shape[0] // 2
-    U = np.concatenate([V[:half], -V[half:]], axis=0) * sgn[None, :]
+    theta = eig.values                      # signed eigenvalues of Q (host)
+    Vr = eig.vectors                        # device (k, n) rows
+    sgn = jnp.asarray(np.sign(theta).astype(np.dtype(rdtype)))[:, None]
+    # U = Pi gamma3 V sign (reference: utils.py:145-155)
+    Ur = cplx.scale_real(gamma3_pair(Vr), sgn)
     d = solver.hier.levels[0].perm_shift
     if cfg.use_permuted and d:
-        U = np.roll(U, -d, axis=0)          # Pi @ U
+        Ur = shift_rows_up_pair(Ur, d)      # Pi @ U (rows of U = cols of basis)
 
     if correction_mode == "eig":
-        # reference formula (utils.py:173): tr(U^H V |Lambda|^{-1})
-        small = (U.conj().T @ V) * (1.0 / np.abs(theta))[None, :]
-        tr1 = complex(np.trace(small))
+        # reference formula (utils.py:173): tr(U^H V |Lambda|^{-1}) -- only
+        # the diagonal is needed: sum_i <U_i, V_i> / |theta_i|
+        diag = cplx.cdot(Ur, Vr)            # (k,) pair
+        dc = np.asarray(diag.re) + 1j * np.asarray(diag.im)
+        tr1 = complex(np.sum(dc / np.abs(theta)))
     elif correction_mode == "solve":
         # exact: tr(A^{-1} Pi^T U U^H) = sum_i <U_i, A^{-1} Pi^T U_i>
-        rhs = U
+        rhs = Ur
         if cfg.use_permuted and d:
-            rhs = np.roll(rhs, d, axis=0)   # Pi^T @ U
+            rhs = shift_rows_down_pair(rhs, d)  # Pi^T @ U
         fn_tol = cfg.solver.effective_tol(
             cfg.function_tol, cplx.complex_dtype(rdtype)
         )
-        Z = _apply_cols(lambda v: solver.solve(v, fn_tol).x, rhs, rdtype)
-        tr1 = complex(np.sum(np.conj(U) * Z))
+        Z = solver.solve(rhs, fn_tol).x     # (k, n) batched solve
+        diag = cplx.cdot(Ur, Z)
+        tr1 = complex(float(jnp.sum(diag.re)) + 1j * float(jnp.sum(diag.im)))
     else:
         raise ValueError(correction_mode)
     return Deflation(
-        U=_device_basis(U, rdtype), tr1=tr1, values=theta, resnorms=eig.resnorms
+        U=Ur.T, tr1=tr1, values=theta, resnorms=eig.resnorms
     )
 
 

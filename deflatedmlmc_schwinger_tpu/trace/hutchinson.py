@@ -101,6 +101,10 @@ def hutchinson(
     unsharded run thanks to counter-based probe keys."""
     timer = timer or PhaseTimer()
     log = print if verbose else (lambda *a, **k: None)
+    # keep the host-side operator for setup: setup_backend='host' reads the
+    # coefficient tensor on the host, and pulling it back off the device
+    # costs a (tunnel-latency-bound) device->host transfer for nothing
+    op_for_setup = op
     if isinstance(op, StencilOperator):
         op = pair_operator(op)
 
@@ -120,7 +124,7 @@ def hutchinson(
                     hier = load_hierarchy(hier_ckpt, op.dtype)
                     log(f"resumed hierarchy from {hier_ckpt}")
                 else:
-                    hier = setup_hierarchy(op, cfg)
+                    hier = setup_hierarchy(op_for_setup, cfg)
                     if hier_ckpt:
                         from deflatedmlmc_schwinger_tpu.utils.checkpoint import save_hierarchy
 
@@ -228,6 +232,12 @@ def hutchinson(
             dm = device_moments_init(rdtype)
             upd = jax.jit(device_moments_update)
             stop_fn = jax.jit(device_should_stop)
+            # the stop flag is read ONE batch late: batch i+1 is already
+            # dispatched while flag i crosses the (high-latency tunnel) host
+            # link, so the device never idles between batches. Worst case is
+            # one extra batch of samples folded into the moments -- the
+            # stopping contract (stderr < tol at the reported n) still holds.
+            prev_flag = None
             while start < cfg.max_nr_ests:
                 X = probes(start, B, n, rdtype)
                 e, iters = hutchinson_step_batch(
@@ -235,8 +245,12 @@ def hutchinson(
                 )
                 dm = upd(dm, e.re, e.im, iters)
                 start += B
-                if bool(stop_fn(dm, rough_trace_tol, cfg.min_nr_ests)):
+                flag = stop_fn(dm, rough_trace_tol, cfg.min_nr_ests)
+                # blocking on the PREVIOUS batch's flag keeps this batch in
+                # flight during the host round-trip
+                if prev_flag is not None and bool(prev_flag):
                     break
+                prev_flag = flag
             moments = moments.merge(device_moments_to_host(dm))
             function_iters += int(np.asarray(dm.iters))
         else:

@@ -278,6 +278,9 @@ def mlmc(
 
     timer = timer or PhaseTimer()
     log = print if verbose else (lambda *a, **k: None)
+    # host-side operator for setup (see trace/hutchinson.py): avoids a
+    # device->host coefficient download when setup_backend='host'
+    op_for_setup = op
     if isinstance(op, StencilOperator):
         op = pair_operator(op)
 
@@ -306,7 +309,7 @@ def mlmc(
                     hier = load_hierarchy(hier_ckpt, op.dtype)
                     log(f"resumed hierarchy from {hier_ckpt}")
                 else:
-                    hier = setup_hierarchy(op, cfg)
+                    hier = setup_hierarchy(op_for_setup, cfg)
                     if hier_ckpt:
                         from deflatedmlmc_schwinger_tpu.utils.checkpoint import save_hierarchy
 
@@ -439,11 +442,10 @@ def mlmc(
                     upd = jax.jit(device_moments_update)
                     stop_fn = jax.jit(device_should_stop)
                     coarse = None
+                    prev_flag = None
                     while start < cfg.max_nr_ests:
                         # no checkpoint on this path, so `moments` is empty at
                         # entry and dm alone carries the level's statistics
-                        if bool(stop_fn(dm, level_trace_tol, cfg.min_nr_ests)):
-                            break
                         X = probes(start, B, n_i, rdt)
                         e, it1, it2, coarse = mlmc_step_batch(
                             solver, cfg, i, defls[i], X, skip_level, fine_solver,
@@ -452,6 +454,14 @@ def mlmc(
                         dm = upd(dm, e.re, e.im, it1)
                         it2_acc = it2_acc + jnp.sum(it2).astype(rdt)
                         start += B
+                        flag = stop_fn(dm, level_trace_tol, cfg.min_nr_ests)
+                        # block on the PREVIOUS batch's flag: this batch stays
+                        # in flight during the host round-trip (at worst one
+                        # extra batch folds into the moments -- still a valid
+                        # stop: stderr only shrinks with more samples)
+                        if prev_flag is not None and bool(prev_flag):
+                            break
+                        prev_flag = flag
                     moments = moments.merge(device_moments_to_host(dm))
                     results[i]["function_iters"] += int(np.asarray(dm.iters))
                     if coarse is not None:

@@ -97,3 +97,34 @@ def test_inverse_iteration_smallest_dense():
     want = np.sort(np.abs(ev))[:3]
     np.testing.assert_allclose(np.sort(np.abs(res.values)), want, rtol=1e-8)
     assert (res.resnorms < 1e-5).all()
+
+
+def test_inverse_iteration_smallest_device_matches_host():
+    """Device-resident inverse iteration (k x k host traffic only) recovers
+    the same smallest eigenvalues as the host twin and the dense oracle."""
+    from deflatedmlmc_schwinger_tpu.solvers.eigs import (
+        inverse_iteration_smallest_device,
+    )
+
+    rng = np.random.default_rng(4)
+    n = 50
+    M = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    H = (M + M.conj().T) / 2 + 0.1 * np.eye(n)
+    Hinv = np.linalg.inv(H)
+    res = inverse_iteration_smallest_device(
+        dense_pair_matvec(H),
+        dense_pair_matvec(Hinv),
+        n,
+        3,
+        rdtype=jnp.float64,
+        seed=3,
+        rounds=15,
+    )
+    ev = np.linalg.eigvalsh(H)
+    want = np.sort(np.abs(ev))[:3]
+    np.testing.assert_allclose(np.sort(np.abs(res.values)), want, rtol=1e-8)
+    assert (res.resnorms < 1e-5).all()
+    # vectors are device (k, n) rows with unit norm
+    assert res.vectors.re.shape == (3, n)
+    nrm = np.asarray(cplx.norm2(res.vectors))
+    np.testing.assert_allclose(nrm, 1.0, rtol=1e-10)
