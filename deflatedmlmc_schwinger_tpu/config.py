@@ -84,6 +84,14 @@ class TraceConfig:
     max_nr_ests: int = 100000           # utils.py:81,108
     min_nr_ests: int = 6                # stop rule needs i>=5 (stoch_trace.py:153)
     nr_rough_iters: int = 5             # stoch_trace.py:104
+    # The rough-trace batch is padded to probe_batch so its XLA program equals
+    # the sampling program (one compile); with rough_batch_full the estimators
+    # average over ALL padded probes instead of the reference's 5
+    # (stoch_trace.py:104) -- same wall cost on TPU, a far tighter stopping
+    # target |trace_tol * rough_trace| (the 5-probe rough of the 128^2
+    # flagship scatters by +-75%, making "1%" stops land anywhere between
+    # 0.5% and 4% actual error). Default False = reference parity.
+    rough_batch_full: bool = False
     rough_seed: int = 123456            # stoch_trace.py:103
     seed: int = 51234                   # gateway.py:67,106 (probe stream)
 
@@ -103,6 +111,13 @@ class TraceConfig:
     defl_eigvs_tol_Hutch: float = 1.0e-9
     defl_eigvs_tol_MLMC: float = 1.0e-1
     diff_lev_op_tol: float = 1.0e-3
+    # Inverse-subspace-iteration rounds for the Hutchinson deflation basis.
+    # NOTE defl_eigvs_tol_Hutch doubles as the MG solve tolerance inside the
+    # iteration (reference semantics, utils.py:141-142); measured on-chip:
+    # loosening it 1e-9 -> 1e-4 cuts the basis setup 371 s -> 5 s at k=8 with
+    # UNCHANGED estimator variance -- the correction_mode='solve' tr1 is
+    # exact for any basis, so a loose basis costs only variance, not bias.
+    defl_subspace_rounds: int = 6
 
     # ---- MLMC ----
     mlmc_levels_to_skip: Sequence[int] = (1,)

@@ -65,10 +65,19 @@ def hutchinson_deflation(
     cfg: TraceConfig,
     *,
     correction_mode: str = "solve",
-    rounds: int = 6,
+    rounds: Optional[int] = None,
     seed_offset: int = 101,
+    fine_solver=None,
 ) -> Deflation:
-    """Deflation basis + exact correction for deflated Hutchinson."""
+    """Deflation basis + exact correction for deflated Hutchinson.
+
+    ``fine_solver``: optional lattice-sharded ShardedMGSolver -- the basis
+    solves then run the domain-decomposed SPMD program with the basis block
+    dimension sharded over the samples axis (SURVEY.md P4: deflation-setup
+    parallelism). Falls back to the replicated solver when the basis size
+    does not divide over the mesh."""
+    if rounds is None:
+        rounds = int(cfg.defl_subspace_rounds)
     k = int(cfg.nr_deflat_vctrs)
     if k == 0:
         return Deflation(U=None, tr1=0.0 + 0.0j)
@@ -88,15 +97,25 @@ def hutchinson_deflation(
     solve_tol = cfg.solver.effective_tol(
         cfg.defl_eigvs_tol_Hutch, cplx.complex_dtype(rdtype)
     )
+    # P4: shard the basis block over the samples axis when it divides (the
+    # m basis rows ride the solver's batch dimension); pad m up to a shard
+    # multiple so every device carries an equal slice
+    m = max(k + 2, int(round(1.25 * k)))
+    basis_solver = solver
+    if fine_solver is not None:
+        nsh = fine_solver.mesh.shape[fine_solver.sample_axis]
+        if k % nsh == 0:
+            m = ((m + nsh - 1) // nsh) * nsh
+            basis_solver = fine_solver
 
     def apply_Qinv(v: CP) -> CP:  # Q^{-1} v = A^{-1} gamma3 v
-        return solver.solve(gamma3_pair(v), solve_tol).x
+        return basis_solver.solve(gamma3_pair(v), solve_tol).x
 
     # device-resident: the (k, n) basis never leaves the device; only k x k
     # projections, eigenvalues, and the tr1 scalar cross the host link
     eig = inverse_iteration_smallest_device(
         mvQ, apply_Qinv, op.n, k, rdtype=rdtype, seed=cfg.seed + seed_offset,
-        rounds=rounds, tol=cfg.defl_eigvs_tol_Hutch,
+        rounds=rounds, tol=cfg.defl_eigvs_tol_Hutch, buffer=m,
     )
     theta = eig.values                      # signed eigenvalues of Q (host)
     Vr = eig.vectors                        # device (k, n) rows
@@ -121,7 +140,7 @@ def hutchinson_deflation(
         fn_tol = cfg.solver.effective_tol(
             cfg.function_tol, cplx.complex_dtype(rdtype)
         )
-        Z = solver.solve(rhs, fn_tol).x     # (k, n) batched solve
+        Z = basis_solver.solve(rhs, fn_tol).x   # (k, n) batched solve
         diag = cplx.cdot(Ur, Z)
         tr1 = complex(float(jnp.sum(diag.re)) + 1j * float(jnp.sum(diag.im)))
     else:

@@ -168,7 +168,7 @@ def hutchinson(
 
     # ---- deflation precompute (stoch_trace.py:79-95) ----
     with timer.phase("defl_setup"):
-        defl = hutchinson_deflation(op, solver, cfg)
+        defl = hutchinson_deflation(op, solver, cfg, fine_solver=fine_solver)
         if mesh is not None and defl.U is not None:
             from deflatedmlmc_schwinger_tpu.trace.deflation import replicate_deflation
 
@@ -187,7 +187,8 @@ def hutchinson(
         Br = max(int(cfg.nr_rough_iters), int(cfg.probe_batch))
         X = rough_probes(0, Br, n, rdtype)
         es, _ = hutchinson_step_batch(op, solver, cfg, defl, X, fine_solver)
-        rough_trace = complex(np.mean(es[: cfg.nr_rough_iters])) + defl.tr1
+        n_rough = Br if cfg.rough_batch_full else int(cfg.nr_rough_iters)
+        rough_trace = complex(np.mean(es[:n_rough])) + defl.tr1
     rough_trace_tol = abs(cfg.trace_tol * rough_trace)
     log(f"rough trace: {rough_trace:.6f}  target stderr: {rough_trace_tol:.3e}")
 

@@ -366,7 +366,7 @@ def mlmc(
 
     # ---- rough trace (stoch_trace.py:281-302) ----
     with timer.phase("rough_trace"):
-        rough_defl = hutchinson_deflation(op, solver, cfg)
+        rough_defl = hutchinson_deflation(op, solver, cfg, fine_solver=fine_solver)
         if mesh is not None and rough_defl.U is not None:
             from deflatedmlmc_schwinger_tpu.trace.deflation import replicate_deflation
 
@@ -376,7 +376,8 @@ def mlmc(
         Br = max(int(cfg.nr_rough_iters), int(cfg.probe_batch))
         X = rough_probes(0, Br, op.n, op.dtype)
         es, _ = hutchinson_step_batch(op, solver, cfg, rough_defl, X, fine_solver)
-        rough_trace = complex(np.mean(es[: cfg.nr_rough_iters])) + rough_defl.tr1
+        n_rough = Br if cfg.rough_batch_full else int(cfg.nr_rough_iters)
+        rough_trace = complex(np.mean(es[:n_rough])) + rough_defl.tr1
     log(f"rough trace: {rough_trace:.6f}")
 
     # ---- output skeleton (stoch_trace.py:308-321) ----

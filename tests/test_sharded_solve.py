@@ -127,3 +127,33 @@ def test_mlmc_lattice_sharded(setup16s, op16):
     for a, b in zip(r0["results"], r_xs["results"]):
         assert a["nr_ests"] == b["nr_ests"]
     assert abs(r_xs["trace"] - r0["trace"]) < 1e-6 * abs(r0["trace"])
+
+
+def test_sharded_deflation_basis_matches_replicated(setup16s):
+    """SURVEY.md P4: the Hutchinson deflation-basis solves routed through the
+    lattice-sharded solver (basis rows sharded over 'samples', lattice over
+    'x') produce the same smallest eigenvalues and the same exact tr1
+    correction as the replicated path, to solve tolerance."""
+    from deflatedmlmc_schwinger_tpu.trace.deflation import hutchinson_deflation
+
+    pop, cfg, hier = setup16s
+    cfg = cfg.replace(
+        nr_deflat_vctrs=8, defl_eigvs_tol_Hutch=1e-6, defl_subspace_rounds=12
+    )
+    solver = MGSolver(hier, cfg.solver)
+    defl_rep = hutchinson_deflation(pop, solver, cfg)
+
+    mesh = make_mesh((4, 2), ("samples", "x"))
+    fine = ShardedMGSolver(hier, mesh, cfg.solver)
+    defl_sh = hutchinson_deflation(pop, solver, cfg, fine_solver=fine)
+
+    # the buffered subspaces differ in size (the sharded basis pads m to a
+    # shard multiple), so only the well-converged smallest modes must agree
+    np.testing.assert_allclose(
+        np.sort(np.abs(defl_sh.values))[:4],
+        np.sort(np.abs(defl_rep.values))[:4],
+        rtol=1e-2,
+    )
+    # tr1 ('solve' mode) is exact for each basis; both bases capture the same
+    # dominant low modes, so the corrections agree to basis accuracy
+    assert abs(defl_sh.tr1 - defl_rep.tr1) < 5e-2 * max(abs(defl_rep.tr1), 1.0)

@@ -154,3 +154,19 @@ def test_mlmc_rejects_unknown_schedule(setup16):
     op, A, cfg, hier = setup16
     with pytest.raises(ValueError):
         mlmc(op, cfg.replace(mlmc_schedule="nope"), hier=hier, verbose=False)
+
+
+def test_hutchinson_rough_batch_full(setup16):
+    """rough_batch_full averages the whole padded rough batch (TPU-native
+    tightening of the stopping target; reference uses 5 probes,
+    stoch_trace.py:104) -- the estimator still stops and lands within
+    statistics of the dense oracle."""
+    op, A, cfg, hier = setup16
+    cfg = cfg.replace(rough_batch_full=True)
+    r = hutchinson(op, cfg, hier=hier, verbose=False)
+    stderr = max(r["std_dev"] / np.sqrt(r["nr_ests"]), 1e-12)
+    err = abs(r["trace"] - EXACT16)
+    assert err < 5 * stderr + 1e-6, (r["trace"], stderr)
+    # the stopping target followed the rough trace, which now tracks the
+    # true trace to the batch-mean stderr
+    assert r["rough_trace"] != 0
