@@ -68,7 +68,21 @@ def main() -> None:
         dof=(2, 8, 8, 8),
         accuracy_mg_eigvs="low",
         test_vectors_type="RSVs",
-        nr_deflat_vctrs=8,
+        # 96 deflation vectors at a LOOSE basis solve tolerance: measured
+        # on-chip (r3), k=8->64 at 1e-4 cuts the per-probe deviation 167->81
+        # (so ~4x fewer probes) while the basis setup stays a few batched
+        # solves; tr1 remains exact for any basis (correction_mode='solve').
+        # defl_buffer=probe_batch makes every setup solve reuse the sampling
+        # batch's XLA program -- zero extra executable loads on the tunnel.
+        nr_deflat_vctrs=96,
+        defl_eigvs_tol_Hutch=1e-4,
+        defl_subspace_rounds=5,
+        defl_buffer=128,
+        # average the whole padded rough batch: the reference's 5-probe rough
+        # trace scatters by +-75%, turning the "1%" stopping target into
+        # 0.5-4% actual error (r2 published 3%); 128 rough probes cost the
+        # same wall clock and pin the target at the true 1%
+        rough_batch_full=True,
         use_permuted=True,
         x_displacement=2,
         chebyshev_degree=60,

@@ -118,6 +118,12 @@ class TraceConfig:
     # UNCHANGED estimator variance -- the correction_mode='solve' tr1 is
     # exact for any basis, so a loose basis costs only variance, not bias.
     defl_subspace_rounds: int = 6
+    # Subspace buffer size m (None -> max(k+2, 1.25k)). Setting it equal to
+    # probe_batch makes every deflation-setup solve reuse the SAMPLING
+    # batch's XLA program -- zero extra compiles/executable loads, which
+    # dominate setup on a tunneled TPU (measured 5-70 s per distinct batch
+    # shape). The correction solves pad to probe_batch for the same reason.
+    defl_buffer: Optional[int] = None
 
     # ---- MLMC ----
     mlmc_levels_to_skip: Sequence[int] = (1,)

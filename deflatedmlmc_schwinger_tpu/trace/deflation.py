@@ -100,7 +100,9 @@ def hutchinson_deflation(
     # P4: shard the basis block over the samples axis when it divides (the
     # m basis rows ride the solver's batch dimension); pad m up to a shard
     # multiple so every device carries an equal slice
-    m = max(k + 2, int(round(1.25 * k)))
+    m = (int(cfg.defl_buffer) if cfg.defl_buffer is not None
+         else max(k + 2, int(round(1.25 * k))))
+    m = max(m, k)
     basis_solver = solver
     if fine_solver is not None:
         nsh = fine_solver.mesh.shape[fine_solver.sample_axis]
@@ -140,8 +142,15 @@ def hutchinson_deflation(
         fn_tol = cfg.solver.effective_tol(
             cfg.function_tol, cplx.complex_dtype(rdtype)
         )
-        Z = basis_solver.solve(rhs, fn_tol).x   # (k, n) batched solve
-        diag = cplx.cdot(Ur, Z)
+        # pad the k solve rows up to the sampling batch size (row i repeats
+        # rhs[i % k]) so this solve reuses the sampling program's shape --
+        # no extra XLA compile/executable load (see cfg.defl_buffer)
+        B = int(cfg.probe_batch)
+        if k < B:
+            idx = jnp.arange(B) % k
+            rhs = CP(rhs.re[idx], rhs.im[idx])
+        Z = basis_solver.solve(rhs, fn_tol).x   # batched solve
+        diag = cplx.cdot(Ur, Z[:k])
         tr1 = complex(float(jnp.sum(diag.re)) + 1j * float(jnp.sum(diag.im)))
     else:
         raise ValueError(correction_mode)
