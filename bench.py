@@ -112,8 +112,12 @@ def main() -> None:
     print(f"# setup: {setup_s:.1f}s  sizes={hier.sizes()}", file=sys.stderr)
     solver = MGSolver(hier, cfg.solver)
 
-    result = hutchinson(op, cfg, solver=solver, verbose=False)
+    from deflatedmlmc_schwinger_tpu.utils.timer import PhaseTimer
+
+    phases = PhaseTimer()
+    result = hutchinson(op, cfg, solver=solver, verbose=False, timer=phases)
     time_to_1pct = time.time() - t0
+    print("#", str(phases).replace("\n", " | "), file=sys.stderr)
     trace = result["trace"]
     nr_ests = int(result["nr_ests"])
     stderr = result["std_dev"] / max(np.sqrt(nr_ests), 1.0)
