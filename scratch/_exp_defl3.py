@@ -2,7 +2,15 @@
 solve tolerance used inside the inverse subspace iteration (round 3 tuning).
 
 For each variant: time hutchinson_deflation, then measure the per-probe
-deviation on two 128-probe batches (the quantity that sets nr_ests)."""
+deviation on two 128-probe batches (the quantity that sets nr_ests).
+
+Measurement design note: the deviation estimate from 2x128 probes carries
+~4-5% sampling noise on the std itself.  The comparison across variants is
+PAIRED (identical counter-keyed probes for every variant), which cancels most
+of the probe-sampling noise in the *differences*, but quoted few-percent
+deviation gaps (e.g. k=96 vs 128: 71 -> 67) are at the noise floor of the
+unpaired std -- re-measure with 4+ batches before treating them as more than
+a tie-break."""
 
 import sys
 import time
