@@ -47,7 +47,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from deflatedmlmc_schwinger_tpu.config import SolverConfig, TraceConfig
+    from deflatedmlmc_schwinger_tpu.gateway import set_params
     from deflatedmlmc_schwinger_tpu.io import load_operator
     from deflatedmlmc_schwinger_tpu.mg import MGSolver, setup_hierarchy
     from deflatedmlmc_schwinger_tpu.ops.dirac import pair_operator, shift_rows_down_pair
@@ -56,50 +56,12 @@ def main() -> None:
     from deflatedmlmc_schwinger_tpu.trace.probes import make_probe_source
     from deflatedmlmc_schwinger_tpu.utils.profiling import maybe_trace
 
-    # G102 flagship (gateway.py G102/set_params('schwinger128')); solver
-    # knobs tuned on-chip (see git history)
-    cfg = TraceConfig(
-        matrix="schwinger128.mat",
-        mass=-0.1320,
-        latt_dims=(128, 128),
-        trace_tol=1e-2,
-        max_nr_levels=4,
-        aggrs=(4 * 4, 2 * 2, 2 * 2),
-        dof=(2, 8, 8, 8),
-        accuracy_mg_eigvs="low",
-        test_vectors_type="RSVs",
-        # 128 deflation vectors at a LOOSE basis solve tolerance: measured
-        # on-chip (r3), k=8->64 at 1e-4 cuts the per-probe deviation 167->81
-        # (so ~4x fewer probes); k 96->128 cuts it 71->67 for free, and
-        # 1e-4 -> 1e-2 basis solves cut the setup 39 s -> 14 s at IDENTICAL
-        # deviation (inexact inverse iteration needs only ~1e-2 per round;
-        # k>=192 hits the bulk-variance floor ~62 and pays new program
-        # shapes). tr1 stays exact for any basis (correction_mode='solve').
-        # defl_buffer=probe_batch makes every setup solve reuse the sampling
-        # batch's XLA program -- zero extra executable loads on the tunnel.
-        nr_deflat_vctrs=128,
-        defl_eigvs_tol_Hutch=1e-2,
-        defl_subspace_rounds=5,
-        defl_buffer=128,
-        # average the whole padded rough batch: the reference's 5-probe rough
-        # trace scatters by +-75%, turning the "1%" stopping target into
-        # 0.5-4% actual error (r2 published 3%); 128 rough probes cost the
-        # same wall clock and pin the target at the true 1%
-        rough_batch_full=True,
-        use_permuted=True,
-        x_displacement=2,
-        chebyshev_degree=60,
-        subspace_iters=8,
-        probe_batch=128,
-        dtype=jnp.complex64,
-        solver=SolverConfig(restart=40, smoother="poly"),
-        # sampling solves at the bias-bounded f32 target instead of the c64
-        # floor (3e-7): tests/test_bias.py measures the trace bias of
-        # 5e-4-tolerance solves at ~1e-3 of |trace| -- an order of magnitude
-        # under the 1% budget -- and solves at the floor cost 2.5x more wall
-        # clock (they run past the stall cutoff; measured on-chip r3)
-        function_tol=5e-4,
-    )
+    # The tuned flagship profile lives in the gateway (the config IS the
+    # experiment record, like the reference's gateway.py:98-166): `python
+    # main.py G102`/`G202` run exactly what this bench measures.  Every
+    # deviation from the reference's knobs carries its on-chip measurement in
+    # deflatedmlmc_schwinger_tpu/gateway.py.
+    cfg = set_params("schwinger128")
 
     # ---- 1. end-to-end time to 1% relative error (G102) ----
     t0 = time.time()

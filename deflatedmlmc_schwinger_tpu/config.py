@@ -94,6 +94,15 @@ class TraceConfig:
     rough_batch_full: bool = False
     rough_seed: int = 123456            # stoch_trace.py:103
     seed: int = 51234                   # gateway.py:67,106 (probe stream)
+    # Stopping safety factor: sampling stops when the standard error drops
+    # below stop_safety * |trace_tol * rough_trace|.  1.0 = reference parity
+    # (stoch_trace.py:118,147-154) -- but a target sitting exactly at the
+    # tolerance means the REALIZED |error| exceeds it whenever the estimate
+    # draws >~1 sigma (observed in rounds 2/3: published errors 3.0% and
+    # 1.39% against a 1% target).  The tuned flagship configs use 0.8, a
+    # ~56% sample surcharge (1/0.8^2) that puts ~1.25 sigma of margin
+    # between the target and the contract.
+    stop_safety: float = 1.0
 
     # ---- multigrid hierarchy (reference: multigrid.py:100-344) ----
     max_nr_levels: int = 4
@@ -123,7 +132,23 @@ class TraceConfig:
     # batch's XLA program -- zero extra compiles/executable loads, which
     # dominate setup on a tunneled TPU (measured 5-70 s per distinct batch
     # shape). The correction solves pad to probe_batch for the same reason.
+    # NOTE buffer == k leaves zero guard vectors in the inverse subspace
+    # iteration (edge Ritz pairs converge slower than with the default
+    # max(k+2, 1.25k) buffer); the tuned flagship accepts that deliberately
+    # -- the r3 on-chip sweep measured identical per-probe deviation with
+    # buffer=k=128 vs buffer=160, and the exact 'solve' correction keeps tr1
+    # unbiased for any basis quality, so slower edge-pair convergence costs
+    # nothing measurable while program-shape reuse saves the executable load.
     defl_buffer: Optional[int] = None
+    # MLMC only: deflation basis size / inverse-iteration rounds for the
+    # ROUGH-trace phase (mlmc's rough trace builds its own Hutchinson-style
+    # basis, reference stoch_trace.py:281-302). None -> nr_deflat_vctrs /
+    # defl_subspace_rounds. The rough trace only sets the stopping-rule
+    # denominator |trace_tol * rough_trace|, so a cheaper basis (fewer
+    # rounds) is fine there while the Hutchinson estimator itself wants the
+    # full-quality basis.
+    rough_deflat_vctrs: Optional[int] = None
+    rough_defl_rounds: Optional[int] = None
 
     # ---- MLMC ----
     mlmc_levels_to_skip: Sequence[int] = (1,)
@@ -163,6 +188,19 @@ class TraceConfig:
     chebyshev_degree: int = 100
     subspace_iters: int = 8
     subspace_iters_coarse: Optional[int] = None
+    # Stalled-solve policy: FGMRES flags rows whose final residual never
+    # reached tol (the stall cutoff stops hopeless restarts,
+    # SolverConfig.stall_ratio).  Estimates from under-solved probes are
+    # BIASED, so the estimators count stalled rows per batch, report the
+    # total in the result ('stalled_rows'), and raise as soon as the running
+    # stalled fraction exceeds this threshold -- silently folding a
+    # systematically hard batch into the trace is the one failure the
+    # reference (which solves to 1e-12 unconditionally, gateway.py:148)
+    # cannot have, so ours must be loud about it.  The default tolerates the
+    # occasional unlucky probe (isolated stalls land within ~tol of the
+    # requested residual and perturb the trace well under the stopping
+    # noise) while any systematic pathology trips the error within a batch.
+    max_stalled_frac: float = 0.05
     # mesh axis name for sample data-parallelism
     sample_axis: str = "samples"
     # mesh axis name for lattice domain decomposition (fine-level solves run

@@ -44,7 +44,83 @@ def set_params(example_name: str) -> TraceConfig:
         )
     elif example_name == "schwinger128":
         # reference: gateway.py:98-166; for m0=-0.1320, permuted, x_disp=2 the
-        # exact displaced trace is -8.748242701374695+50.215154098005584j
+        # exact displaced trace is -8.748242701374695+50.215154098005584j.
+        #
+        # This is the TUNED on-chip profile -- the exact configuration the
+        # published bench numbers come from (bench.py imports it); `python
+        # main.py G102` / `G202` therefore reproduce BENCH_r*.json.  For a
+        # matched-seed reference-fidelity run (EVs/'high'/k=8/tol 1e-12) use
+        # 'schwinger128-parity' below.  Every knob that deviates from the
+        # reference carries its on-chip measurement:
+        import jax.numpy as jnp
+
+        return TraceConfig(
+            matrix="schwinger128.mat",
+            problem_name="schwinger",
+            mass=-0.1320,
+            latt_dims=(128, 128),
+            trace_tol=1.0e-2,
+            aggrs=(4 * 4, 2 * 2, 2 * 2),
+            dof=(2, 8, 8, 8),
+            max_nr_levels=4,
+            coarsest_level_directly=True,
+            # 'low' + RSVs: hierarchy quality is statistically identical for
+            # the estimator (r2 measurement) at a fraction of the setup cost
+            accuracy_mg_eigvs="low",
+            check_quality_MG=False,
+            test_vectors_type="RSVs",
+            mlmc_levels_to_skip=(1,),
+            # 128 deflation vectors from a LOOSE-tolerance inverse iteration:
+            # measured on-chip (r3), k=8->64 at 1e-4 cuts the per-probe
+            # deviation 167->81 (so ~4x fewer probes); k 96->128 cuts it
+            # 71->67 for free, and 1e-4 -> 1e-2 basis solves cut the setup
+            # 39 s -> 14 s at IDENTICAL deviation (inexact inverse iteration
+            # needs only ~1e-2 per round; k>=192 hits the bulk-variance floor
+            # ~62 and pays new program shapes).  tr1 stays exact for any
+            # basis quality (correction_mode='solve').
+            nr_deflat_vctrs=128,
+            defl_eigvs_tol_Hutch=1.0e-2,
+            defl_subspace_rounds=5,
+            # defl_buffer=probe_batch makes every setup solve reuse the
+            # sampling batch's XLA program -- zero extra executable loads on
+            # the tunneled chip (tradeoff note: config.py defl_buffer)
+            defl_buffer=128,
+            mlmc_deflat_vctrs=(0, 0, 0),
+            defl_type="exact",
+            defl_eigvs_tol_MLMC=1.0e-1,
+            diff_lev_op_tol=1.0e-3,
+            # average the whole padded rough batch: the reference's 5-probe
+            # rough trace scatters by +-75%, turning the "1%" stopping target
+            # into 0.5-4% actual error (r2 published 3%); 128 rough probes
+            # cost the same wall clock and pin the target at the true 1%
+            rough_batch_full=True,
+            # stop at 0.8x the target stderr so the REALIZED error meets the
+            # 1% contract with ~1.25 sigma margin (config.py stop_safety;
+            # closes the r2/r3 realized-error misses)
+            stop_safety=0.8,
+            use_permuted=True,
+            x_displacement=2,
+            seed=51234,
+            # TPU throughput knobs (measured on-chip: restart 40 + batch 128
+            # is the 128^2 sweet spot, ~2700x the reference's probe rate)
+            probe_batch=128,
+            chebyshev_degree=60,
+            subspace_iters=8,
+            dtype=jnp.complex64,
+            solver=SolverConfig(restart=40, smoother="poly"),
+            # sampling solves at the bias-bounded f32 target instead of the
+            # c64 floor (3e-7): tests/test_bias.py measures the trace bias of
+            # 5e-4-tolerance solves at ~1e-3 of |trace| -- an order of
+            # magnitude under the 1% budget -- and solves at the floor cost
+            # 2.5x more wall clock (they run past the stall cutoff; measured
+            # on-chip r3)
+            function_tol=5.0e-4,
+        )
+    elif example_name == "schwinger128-parity":
+        # reference-fidelity variant of the 128^2 config for matched-seed
+        # validation runs: EVs at 'high' eigensolver accuracy, k=8 deflation
+        # at 1e-9, solves at 1e-12 (clipped to the dtype's residual floor),
+        # reference rough trace and stopping rule (reference: gateway.py:98-166)
         return TraceConfig(
             matrix="schwinger128.mat",
             problem_name="schwinger",
@@ -68,8 +144,7 @@ def set_params(example_name: str) -> TraceConfig:
             use_permuted=True,
             x_displacement=2,
             seed=51234,
-            # TPU throughput knobs (measured on-chip: restart 40 + batch 128
-            # is the 128^2 sweet spot, ~910x the reference's probe rate)
+            function_tol=1.0e-12,
             probe_batch=128,
             solver=SolverConfig(restart=40, smoother="poly"),
         )
@@ -146,15 +221,18 @@ def G201():
 
 
 def G102():
-    """Deflated Hutchinson, Schwinger 128^2 (reference: gateway.py:38-45)."""
-    cfg = set_params("schwinger128").replace(function_tol=1e-12)
-    return EXAMPLE_001(cfg)
+    """Deflated Hutchinson, Schwinger 128^2 (reference: gateway.py:38-45).
+
+    Runs the tuned on-chip profile (the published bench configuration;
+    bench.py imports the same config, so this reproduces BENCH_r*.json)."""
+    return EXAMPLE_001(set_params("schwinger128"))
 
 
 def G202():
-    """Deflated MLMC, Schwinger 128^2 (reference: gateway.py:52-59)."""
-    cfg = set_params("schwinger128").replace(function_tol=1e-12)
-    return EXAMPLE_002(cfg)
+    """Deflated MLMC, Schwinger 128^2 (reference: gateway.py:52-59).
+
+    Runs the tuned on-chip profile (same config as the bench's G202 row)."""
+    return EXAMPLE_002(set_params("schwinger128"))
 
 
 def G301():

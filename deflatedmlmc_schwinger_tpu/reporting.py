@@ -48,6 +48,8 @@ def result_to_json(cfg: TraceConfig, result: Dict, example: str) -> str:
         trace_im=float(result["trace"].imag),
         total_complexity=float(result["total_complexity"]),
     )
+    if "stalled_rows" in result:
+        out["stalled_rows"] = int(result["stalled_rows"])
     if example == "hutchinson":
         out.update(
             std_dev=float(result["std_dev"]),
@@ -63,6 +65,7 @@ def result_to_json(cfg: TraceConfig, result: Dict, example: str) -> str:
                 trace_im=float(complex(r["ests_avg"]).imag),
                 std_dev=float(r["ests_dev"]),
                 level_complexity=float(r["level_complexity"]),
+                stalled_rows=int(r.get("stalled_rows", 0)),
             )
             for r in result["results"]
         ]

@@ -40,7 +40,11 @@ from deflatedmlmc_schwinger_tpu.trace.deflation import (
     hutchinson_deflation,
 )
 from deflatedmlmc_schwinger_tpu.trace.probes import make_probe_source
-from deflatedmlmc_schwinger_tpu.trace.stats import RunningMoments, should_stop
+from deflatedmlmc_schwinger_tpu.trace.stats import (
+    RunningMoments,
+    check_stalled,
+    should_stop,
+)
 from deflatedmlmc_schwinger_tpu.utils.flops import flops_vcycle, level_nnz
 from deflatedmlmc_schwinger_tpu.utils.timer import PhaseTimer
 
@@ -50,9 +54,9 @@ def hutchinson_step_batch(op, solver: MGSolver, cfg: TraceConfig,
                           gather: bool = True):
     """One batch of deflated Hutchinson estimates (reference:
     utils.py:210-250). probes is a (B, n) CP pair; returns host
-    (estimates complex (B,), per-row iteration counts), or -- with
-    ``gather=False`` -- the (B,) CP estimates and iteration counts as DEVICE
-    values for the device-resident stopping path (trace/stats.py).
+    (estimates complex (B,), per-row iteration counts, per-row stalled
+    flags), or -- with ``gather=False`` -- the same three as DEVICE values
+    for the device-resident stopping path (trace/stats.py).
 
     ``fine_solver``: optional solver for the fine-level systems -- the
     lattice-sharded ShardedMGSolver when running on a ('samples', 'x') mesh
@@ -65,7 +69,7 @@ def hutchinson_step_batch(op, solver: MGSolver, cfg: TraceConfig,
     res = (fine_solver or solver).solve(x_def, cfg.function_tol)
     e = cplx.cdot(x, res.x)                  # (B,) pair
     if not gather:
-        return e, res.iters
+        return e, res.iters, res.stalled
     # global_values assembles the full batch on every process (multi-host
     # runs shard the batch across processes; single-process it is asarray),
     # so moments and stopping decisions are identical everywhere
@@ -74,6 +78,7 @@ def hutchinson_step_batch(op, solver: MGSolver, cfg: TraceConfig,
     return (
         global_values(e.re) + 1j * global_values(e.im),
         global_values(res.iters),
+        global_values(res.stalled),
     )
 
 
@@ -186,10 +191,14 @@ def hutchinson(
         # only the first nr_rough_iters estimates enter the statistic
         Br = max(int(cfg.nr_rough_iters), int(cfg.probe_batch))
         X = rough_probes(0, Br, n, rdtype)
-        es, _ = hutchinson_step_batch(op, solver, cfg, defl, X, fine_solver)
+        es, _, stall = hutchinson_step_batch(op, solver, cfg, defl, X, fine_solver)
         n_rough = Br if cfg.rough_batch_full else int(cfg.nr_rough_iters)
         rough_trace = complex(np.mean(es[:n_rough])) + defl.tr1
-    rough_trace_tol = abs(cfg.trace_tol * rough_trace)
+    stalled_rows = int(np.sum(stall))
+    check_stalled(stalled_rows, Br, cfg.max_stalled_frac, "hutchinson rough trace")
+    # stop_safety < 1 tightens the stopping target below the named tolerance
+    # so the realized error meets the contract with margin (config.py)
+    rough_trace_tol = cfg.stop_safety * abs(cfg.trace_tol * rough_trace)
     log(f"rough trace: {rough_trace:.6f}  target stderr: {rough_trace_tol:.3e}")
 
     # ---- main loop (stoch_trace.py:131-154) ----
@@ -223,48 +232,64 @@ def hutchinson(
         if use_device_stats:
             import jax
 
+            import jax.numpy as jnp
+
             from deflatedmlmc_schwinger_tpu.trace.stats import (
                 device_moments_init,
                 device_moments_to_host,
                 device_moments_update,
-                device_should_stop,
+                device_stop_and_stalled,
             )
 
             dm = device_moments_init(rdtype)
+            stall_acc = jnp.zeros((), jnp.int32)
             upd = jax.jit(device_moments_update)
-            stop_fn = jax.jit(device_should_stop)
-            # the stop flag is read ONE batch late: batch i+1 is already
-            # dispatched while flag i crosses the (high-latency tunnel) host
-            # link, so the device never idles between batches. Worst case is
-            # one extra batch of samples folded into the moments -- the
-            # stopping contract (stderr < tol at the reported n) still holds.
+            flag_fn = jax.jit(device_stop_and_stalled)
+            # the [stop, stalled] flags are read ONE batch late: batch i+1 is
+            # already dispatched while flags i cross the (high-latency
+            # tunnel) host link, so the device never idles between batches.
+            # Worst case is one extra batch of samples folded into the
+            # moments -- the stopping contract (stderr < tol at the reported
+            # n) still holds.
             prev_flag = None
             while start < cfg.max_nr_ests:
                 X = probes(start, B, n, rdtype)
-                e, iters = hutchinson_step_batch(
+                e, iters, stall = hutchinson_step_batch(
                     op, solver, cfg, defl, X, fine_solver, gather=False
                 )
                 dm = upd(dm, e.re, e.im, iters)
+                stall_acc = stall_acc + jnp.sum(stall).astype(jnp.int32)
                 start += B
-                flag = stop_fn(dm, rough_trace_tol, cfg.min_nr_ests)
-                # blocking on the PREVIOUS batch's flag keeps this batch in
+                flag = flag_fn(dm, rough_trace_tol, cfg.min_nr_ests, stall_acc)
+                # blocking on the PREVIOUS batch's flags keeps this batch in
                 # flight during the host round-trip
-                if prev_flag is not None and bool(prev_flag):
-                    break
+                if prev_flag is not None:
+                    stop, nstall = (int(v) for v in np.asarray(prev_flag))
+                    check_stalled(nstall, start - B - resume_at,
+                                  cfg.max_stalled_frac, "hutchinson sampling")
+                    if stop:
+                        break
                 prev_flag = flag
             moments = moments.merge(device_moments_to_host(dm))
             function_iters += int(np.asarray(dm.iters))
+            nstall = int(np.asarray(stall_acc))
+            check_stalled(nstall, start - resume_at, cfg.max_stalled_frac,
+                          "hutchinson sampling")
+            stalled_rows += nstall
         else:
             while start < cfg.max_nr_ests:
                 X = probes(start, B, n, rdtype)
                 if mesh is not None:
                     X = shard_batch(X, mesh, cfg.sample_axis)
-                es, iters = hutchinson_step_batch(
+                es, iters, stall = hutchinson_step_batch(
                     op, solver, cfg, defl, X, fine_solver
                 )
                 moments.update_batch(es)
                 function_iters += int(np.sum(iters))
+                stalled_rows += int(np.sum(stall))
                 start += B
+                check_stalled(stalled_rows, start - resume_at + Br,
+                              cfg.max_stalled_frac, "hutchinson sampling")
                 if state_ckpt:
                     EstimatorState(
                         moments={"hutchinson": moments},
@@ -282,6 +307,7 @@ def hutchinson(
         nr_ests=moments.count,
         function_iters=function_iters,
         rough_trace=rough_trace,
+        stalled_rows=stalled_rows,
     )
     total = flops_vcycle(nnz, solver.cfg.smooth_iters, 0, 0) * function_iters
     total += nnz[-1] * int(solver.coarsest_lev_iters[0])

@@ -43,7 +43,11 @@ from deflatedmlmc_schwinger_tpu.trace.deflation import (
 )
 from deflatedmlmc_schwinger_tpu.trace.hutchinson import hutchinson_step_batch
 from deflatedmlmc_schwinger_tpu.trace.probes import make_probe_source
-from deflatedmlmc_schwinger_tpu.trace.stats import RunningMoments, should_stop
+from deflatedmlmc_schwinger_tpu.trace.stats import (
+    RunningMoments,
+    check_stalled,
+    should_stop,
+)
 from deflatedmlmc_schwinger_tpu.utils.flops import flops_vcycle, level_nnz
 from deflatedmlmc_schwinger_tpu.utils.timer import PhaseTimer
 
@@ -81,7 +85,9 @@ def mlmc_step_batch(
     gather: bool = True,
 ):
     """One batch of difference-level estimates (reference: utils.py:252-357).
-    Returns (estimates (B,), fine iters (B,), coarse iters (B,), coarse_level).
+    Returns (estimates (B,), fine iters (B,), coarse iters (B,),
+    coarse_level, stalled (B,) -- rows whose fine or coarse solve ended
+    above tolerance).
 
     ``fine_solver``: optional lattice-sharded solver for the LEVEL-0 systems
     (parallel/sharded_solve.py); coarse levels always run replicated."""
@@ -116,21 +122,24 @@ def mlmc_step_batch(
     if coarse == coarsest:
         y = solver.coarsest_solve(xc)
         iters2 = jnp.ones(x0.re.shape[0], jnp.int32)
+        stalled = res_f.stalled   # the dense coarsest apply cannot stall
     else:
         res_c = solver.solve(xc, cfg.function_tol, level=coarse)
         y = res_c.x
         iters2 = res_c.iters
+        stalled = jnp.logical_or(res_f.stalled, res_c.stalled)
     w = prolong(y)
     e2 = cplx.cdot(x0, w)
     e = e1 - e2
     if not gather:
         # device values for the device-resident stopping path (trace/stats.py)
-        return e, res_f.iters, iters2, coarse
+        return e, res_f.iters, iters2, coarse, stalled
     # full batch on every process (see trace/hutchinson.py)
     from deflatedmlmc_schwinger_tpu.parallel.distributed import global_values
 
     es = global_values(e.re) + 1j * global_values(e.im)
-    return es, global_values(res_f.iters), global_values(iters2), coarse
+    return (es, global_values(res_f.iters), global_values(iters2), coarse,
+            global_values(stalled))
 
 
 def _adaptive_sampling(
@@ -154,7 +163,7 @@ def _adaptive_sampling(
 
     nr_levels = hier.nr_levels
     B = int(cfg.probe_batch)
-    eps_tot = abs(cfg.trace_tol * rough_trace)
+    eps_tot = cfg.stop_safety * abs(cfg.trace_tol * rough_trace)
     active = [
         i for i in range(nr_levels - 1) if not (skip_level and i == 1)
     ]
@@ -175,13 +184,16 @@ def _adaptive_sampling(
         X = probes[i](starts[i], B, n_i, hier.levels[i].op.dtype)
         if mesh is not None:
             X = shard_batch(X, mesh, cfg.sample_axis)
-        es, it1, it2, coarse = mlmc_step_batch(
+        es, it1, it2, coarse, stall = mlmc_step_batch(
             solver, cfg, i, defls[i], X, skip_level, fine_solver
         )
         moments[i].update_batch(es)
         results[i]["function_iters"] += int(np.sum(it1))
         results[coarse]["function_iters"] += int(np.sum(it2))
+        results[i]["stalled_rows"] += int(np.sum(stall))
         starts[i] += B
+        check_stalled(results[i]["stalled_rows"], moments[i].count,
+                      cfg.max_stalled_frac, f"mlmc level {i}")
         dt = _time.time() - t0
         c = costs[i]
         if len(c) == 1:
@@ -366,7 +378,16 @@ def mlmc(
 
     # ---- rough trace (stoch_trace.py:281-302) ----
     with timer.phase("rough_trace"):
-        rough_defl = hutchinson_deflation(op, solver, cfg, fine_solver=fine_solver)
+        # the rough trace only sets the stopping denominator, so its basis
+        # may be cheaper than the Hutchinson estimator's (config.py:
+        # rough_deflat_vctrs / rough_defl_rounds)
+        rough_cfg = cfg
+        if cfg.rough_deflat_vctrs is not None:
+            rough_cfg = rough_cfg.replace(nr_deflat_vctrs=cfg.rough_deflat_vctrs)
+        rough_defl = hutchinson_deflation(
+            op, solver, rough_cfg, fine_solver=fine_solver,
+            rounds=cfg.rough_defl_rounds,
+        )
         if mesh is not None and rough_defl.U is not None:
             from deflatedmlmc_schwinger_tpu.trace.deflation import replicate_deflation
 
@@ -375,15 +396,19 @@ def mlmc(
         # padded to the sampling batch shape (see trace/hutchinson.py)
         Br = max(int(cfg.nr_rough_iters), int(cfg.probe_batch))
         X = rough_probes(0, Br, op.n, op.dtype)
-        es, _ = hutchinson_step_batch(op, solver, cfg, rough_defl, X, fine_solver)
+        es, _, stall = hutchinson_step_batch(
+            op, solver, cfg, rough_defl, X, fine_solver
+        )
         n_rough = Br if cfg.rough_batch_full else int(cfg.nr_rough_iters)
         rough_trace = complex(np.mean(es[:n_rough])) + rough_defl.tr1
+    check_stalled(int(np.sum(stall)), Br, cfg.max_stalled_frac,
+                  "mlmc rough trace")
     log(f"rough trace: {rough_trace:.6f}")
 
     # ---- output skeleton (stoch_trace.py:308-321) ----
     results = [
         dict(function_iters=0, nr_ests=0, ests_avg=0.0 + 0.0j, ests_dev=0.0,
-             level_complexity=0.0)
+             level_complexity=0.0, stalled_rows=0)
         for _ in range(nr_levels)
     ]
 
@@ -416,7 +441,9 @@ def mlmc(
                 if skip_level and i == 1:
                     continue
                 tol_fctr = _level_tol_factor(i, nr_levels, f0, f1, skip_level)
-                level_trace_tol = abs(cfg.trace_tol * rough_trace * tol_fctr)
+                level_trace_tol = cfg.stop_safety * abs(
+                    cfg.trace_tol * rough_trace * tol_fctr
+                )
                 probes = make_probe_source(probe_source, cfg.seed + i)
                 key = f"level{i}"
                 moments = state.moments.get(key, RunningMoments())
@@ -434,37 +461,48 @@ def mlmc(
                         device_moments_init,
                         device_moments_to_host,
                         device_moments_update,
-                        device_should_stop,
+                        device_stop_and_stalled,
                     )
 
                     rdt = hier.levels[i].op.dtype
                     dm = device_moments_init(rdt)
                     it2_acc = jnp.zeros((), rdt)
+                    stall_acc = jnp.zeros((), jnp.int32)
                     upd = jax.jit(device_moments_update)
-                    stop_fn = jax.jit(device_should_stop)
+                    flag_fn = jax.jit(device_stop_and_stalled)
                     coarse = None
                     prev_flag = None
                     while start < cfg.max_nr_ests:
                         # no checkpoint on this path, so `moments` is empty at
                         # entry and dm alone carries the level's statistics
                         X = probes(start, B, n_i, rdt)
-                        e, it1, it2, coarse = mlmc_step_batch(
+                        e, it1, it2, coarse, stall = mlmc_step_batch(
                             solver, cfg, i, defls[i], X, skip_level, fine_solver,
                             gather=False,
                         )
                         dm = upd(dm, e.re, e.im, it1)
                         it2_acc = it2_acc + jnp.sum(it2).astype(rdt)
+                        stall_acc = stall_acc + jnp.sum(stall).astype(jnp.int32)
                         start += B
-                        flag = stop_fn(dm, level_trace_tol, cfg.min_nr_ests)
-                        # block on the PREVIOUS batch's flag: this batch stays
+                        flag = flag_fn(dm, level_trace_tol, cfg.min_nr_ests,
+                                       stall_acc)
+                        # block on the PREVIOUS batch's flags: this batch stays
                         # in flight during the host round-trip (at worst one
                         # extra batch folds into the moments -- still a valid
                         # stop: stderr only shrinks with more samples)
-                        if prev_flag is not None and bool(prev_flag):
-                            break
+                        if prev_flag is not None:
+                            stop, nstall = (int(v) for v in np.asarray(prev_flag))
+                            check_stalled(nstall, start - B,
+                                          cfg.max_stalled_frac, f"mlmc level {i}")
+                            if stop:
+                                break
                         prev_flag = flag
                     moments = moments.merge(device_moments_to_host(dm))
                     results[i]["function_iters"] += int(np.asarray(dm.iters))
+                    nstall = int(np.asarray(stall_acc))
+                    check_stalled(nstall, start, cfg.max_stalled_frac,
+                                  f"mlmc level {i}")
+                    results[i]["stalled_rows"] += nstall
                     if coarse is not None:
                         results[coarse]["function_iters"] += int(np.asarray(it2_acc))
                 else:
@@ -474,13 +512,16 @@ def mlmc(
                         X = probes(start, B, n_i, hier.levels[i].op.dtype)
                         if mesh is not None:
                             X = shard_batch(X, mesh, cfg.sample_axis)
-                        es, it1, it2, coarse = mlmc_step_batch(
+                        es, it1, it2, coarse, stall = mlmc_step_batch(
                             solver, cfg, i, defls[i], X, skip_level, fine_solver
                         )
                         moments.update_batch(es)
                         results[i]["function_iters"] += int(np.sum(it1))
                         results[coarse]["function_iters"] += int(np.sum(it2))
+                        results[i]["stalled_rows"] += int(np.sum(stall))
                         start += B
+                        check_stalled(results[i]["stalled_rows"], moments.count,
+                                      cfg.max_stalled_frac, f"mlmc level {i}")
                         if state_ckpt:
                             state.moments[key] = moments
                             state.next_index[key] = start
@@ -551,6 +592,7 @@ def mlmc(
         std_dev=agg_stderr,
         trace=sum(r["ests_avg"] for r in results),
         total_complexity=sum(r["level_complexity"] for r in results),
+        stalled_rows=sum(r["stalled_rows"] for r in results),
         timer=timer,
     )
     return out

@@ -67,6 +67,21 @@ def should_stop(m: RunningMoments, tol_target: float, min_samples: int) -> bool:
     return bool(m.count >= min_samples and m.error_est < tol_target)
 
 
+def check_stalled(nstalled: int, nsamples: int, max_frac: float, where: str) -> None:
+    """Raise when the running fraction of stalled (under-solved) probe rows
+    exceeds ``max_frac`` -- stalled rows carry solver bias the stopping rule
+    cannot see (config.py max_stalled_frac)."""
+    if nsamples > 0 and nstalled > max_frac * nsamples:
+        raise RuntimeError(
+            f"{where}: {nstalled}/{nsamples} probe solves stalled above the "
+            f"requested tolerance (max_stalled_frac={max_frac}). The trace "
+            "estimate would be biased by under-solved probes; loosen "
+            "function_tol toward the dtype's attainable residual floor "
+            "(SolverConfig.tol_floor), raise restart/max_restarts, or relax "
+            "max_stalled_frac if the bias is separately bounded."
+        )
+
+
 # ---- device-resident stopping state (SURVEY.md section 5.8 item (d)) -------
 #
 # The estimator loops solve a probe batch per iteration; pulling the (B,)
@@ -128,6 +143,17 @@ def device_should_stop(dm: DeviceMoments, tol_target: float, min_samples: int):
         jnp.maximum(dm.count, 1.0)
     )
     return jnp.logical_and(dm.count >= min_samples, err < tol_target)
+
+
+def device_stop_and_stalled(dm: DeviceMoments, tol_target, min_samples,
+                            stalled_acc):
+    """Packed per-batch device scalars for the device-resident loop: a (2,)
+    int32 [stop_flag, stalled_row_count] -- the single host fetch per batch
+    carries both the stopping decision and the stall-policy counter."""
+    import jax.numpy as jnp
+
+    stop = device_should_stop(dm, tol_target, min_samples)
+    return jnp.stack([stop.astype(jnp.int32), stalled_acc.astype(jnp.int32)])
 
 
 def device_moments_to_host(dm: DeviceMoments) -> RunningMoments:
