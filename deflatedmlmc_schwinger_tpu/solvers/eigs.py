@@ -360,13 +360,19 @@ def inverse_iteration_smallest_device(
     m = buffer if buffer is not None else max(k + 2, int(round(1.25 * k)))
     m = min(m, n)
     if V0 is not None:
-        V = V0
-        m = V.shape[1]
+        m = V0.shape[1]
+        Vd = _to_pair_rows(_orth(V0).T, rdtype)      # device (m, n) rows
     else:
-        rng = np.random.default_rng(seed)
-        V = rng.standard_normal((n, m)) + 1j * rng.standard_normal((n, m))
-    V = _orth(V)
-    Vd = _to_pair_rows(V.T, rdtype)                  # device (m, n) rows
+        # Generate the start block ON DEVICE and skip the host QR: a host
+        # Gaussian + QR of the (n, m) block costs ~9 s (2-core host) + a
+        # tunnel upload at the flagship size (measured r4), while the round's
+        # own whitening transform orth_T handles the conditioning -- i.i.d.
+        # Gaussian rows have Gram ~ n*(I + O(sqrt(m/n))), far from singular.
+        kre, kim = jax.random.split(jax.random.PRNGKey(seed))
+        Vd = CP(
+            jax.random.normal(kre, (m, n), dtype=jnp.dtype(rdtype)),
+            jax.random.normal(kim, (m, n), dtype=jnp.dtype(rdtype)),
+        )
     gram, project, recombine = _ritz_kernels_factory(matvec_pair)
     eps = 1e3 * np.finfo(np.dtype(rdtype)).eps
     def orth_T(Vd: CP) -> np.ndarray:
@@ -378,21 +384,32 @@ def inverse_iteration_smallest_device(
         L = np.linalg.cholesky(Gs + (eps * scale) * np.eye(m))
         return sla.solve_triangular(L.conj().T, np.eye(m), lower=False)
 
+    prev_theta = None
     for r in range(rounds):
         Vd = apply_inv_pair(Vd)                      # (m, n) batched solve
         W, U, Ad, Bd = project(Vd, _to_pair_rows(orth_T(Vd), rdtype))
         Y = _harmonic_small_solve(cplx.to_complex(Ad), cplx.to_complex(Bd), eps)
         Vd, _, theta_d, res_d = recombine(W, U, _to_pair_rows(Y, rdtype))
         res = np.asarray(res_d, dtype=np.float64)
+        theta_r = np.abs(np.asarray(theta_d, dtype=np.float64))[:k]
         if tol > 0 and float(np.max(res[:k])) < tol:
-            break
+            # Residuals measure Ritz-pair quality, NOT subspace
+            # completeness: a deficient subspace (an interior mode not yet
+            # pulled in) can show k small residuals and exit with a wrong
+            # basis. Require the k smallest |theta| to be stable across two
+            # consecutive rounds as well -- a still-arriving mode shifts the
+            # ordering between rounds, a converged one does not.
+            if prev_theta is not None and float(np.max(
+                np.abs(np.sort(theta_r) - np.sort(prev_theta))
+                / np.maximum(np.sort(prev_theta), 1e-300)
+            )) < np.sqrt(max(tol, 1e-12)):
+                break
+        prev_theta = theta_r
     # Final extraction by PLAIN Rayleigh--Ritz on an orthonormalized basis:
     # harmonic recombination (Y = L^{-H} Z) is not unitary, so the rows above
     # are individually normalized but NOT mutually orthogonal -- a projector
     # built from them under-deflates (measured ||U^H U - I|| ~ 0.7 in f32).
-    # Here Z is unitary, so X = Z^T W is orthonormal to working precision;
-    # ghosts are not a concern for the final pass because rounds of Q^{-1}
-    # have already purged the large-|lambda| content of the subspace.
+    # Here Z is unitary, so X = Z^T W is orthonormal to working precision.
     W, U, Ad, _ = project(Vd, _to_pair_rows(orth_T(Vd), rdtype))
     M = cplx.to_complex(Ad)                          # U^H W = W^H Q W
     M = 0.5 * (M + M.conj().T)
@@ -401,7 +418,24 @@ def inverse_iteration_smallest_device(
     Vd, _, theta_d, res_d = recombine(W, U, _to_pair_rows(Z[:, order], rdtype))
     theta = np.asarray(theta_d, dtype=np.float64)
     res = np.asarray(res_d, dtype=np.float64)
-    return DeviceEigResult(theta[:k], Vd[:k], res[:k])
+    # GHOST REJECTION: plain RR on the indefinite Q can mix leftover +bulk
+    # and -bulk buffer content into a spurious pair with a near-zero
+    # Rayleigh quotient. Ghosts betray themselves by their residual: a
+    # genuine inverse-iterated pair has ||Q x - theta x|| << |theta| while a
+    # ghost's residual is O(bulk) >> |theta| (measured at 16^2: ghost
+    # res/|theta| = 7.2 vs <= 0.1 for every true pair). Select the k
+    # smallest-|theta| pairs that pass res <= 0.5 |theta|; if fewer than k
+    # pass (very loose bases), pad with the best remaining pairs so shapes
+    # stay static -- an imperfect vector costs variance only (the 'solve'
+    # correction keeps tr1 exact for ANY basis, trace/deflation.py).
+    ok = res <= 0.5 * np.abs(theta)
+    sel = [i for i in range(len(theta)) if ok[i]][:k]
+    if len(sel) < k:
+        sel += [i for i in range(len(theta)) if not ok[i]][: k - len(sel)]
+        sel = sorted(sel)
+    idx = np.asarray(sel, dtype=np.int64)
+    Vk = CP(Vd.re[idx], Vd.im[idx])
+    return DeviceEigResult(theta[idx], Vk, res[idx])
 
 
 def subspace_iteration_largest(
