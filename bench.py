@@ -1,23 +1,28 @@
 """Benchmark: the 128^2 Schwinger flagship on a single chip.
 
-Three measurements, all vs the reference's CPU baselines (BASELINE.md):
+Measurements, all vs the reference's CPU baselines (BASELINE.md):
 
-1. wall_time_to_1pct_error_s -- the BASELINE.json north-star metric: the
-   COMPLETE G102 deflated-Hutchinson run (displaced trace, trace_tol 1e-2)
-   from operator load through the stopping rule, wall clock.  The reference
-   needs ~10.4 s per probe solve (0.096 solves/s, one core) and the same
-   stopping rule needs ~9.3k probes => ~97,300 s estimated end-to-end (it was
-   never observed to finish; BASELINE.md G202 note).
-2. probe_solves_per_sec -- batched fine-level MG-FGMRES probe solves, with
+1. wall_time_to_1pct_error_s ... G102 -- the BASELINE.json north-star
+   metric: the COMPLETE deflated-Hutchinson run (displaced trace, trace_tol
+   1e-2) from operator load through the stopping rule, wall clock.  The
+   reference needs ~10.4 s per probe solve (0.096 solves/s, one core), so
+   the same stopping rule puts it at nr_ests/0.096 seconds (estimated -- it
+   was never observed to finish, BASELINE.md G202 note).
+2. wall_time_to_1pct_error_s ... G202 -- the reference's FLAGSHIP
+   experiment: deflated MG-MLMC on the same observable, with the TPU-native
+   profile (dense-exact small levels, level-0 fine deflation; gateway.py).
+   Emitted as its own JSON line with per-level statistics in "extra".
+3. probe_solves_per_sec -- batched fine-level MG-FGMRES probe solves, with
    the solve tolerance IN the metric name (round-1 verdict: the baseline row
    is FGMRES@1e-12 in f64; the f32 on-chip target is 5e-4, which
    tests/test_bias.py bounds to a trace bias far below the 1% budget).
-3. Stencil roofline -- achieved HBM GB/s and GFLOP/s of the fine-level
-   Pallas stencil matvec vs chip peaks (TPU v5e: ~819 GB/s HBM, the stencil
-   is elementwise/VPU work so bandwidth is the binding roof).
+4. Stencil roofline + V-cycle split -- achieved HBM GB/s and GFLOP/s of the
+   fine-level Pallas stencil matvec vs chip peaks (TPU v5e: ~819 GB/s HBM),
+   plus the measured time split of one preconditioned probe batch
+   (fine stencil vs whole V-cycle vs solve overhead).
 
-Prints ONE JSON line: the headline metric plus an "extra" dict carrying the
-other measurements.
+Prints the G202 JSON line, then the G102 headline JSON line LAST (the
+driver's series metric, continuous since round 1).
 """
 
 from __future__ import annotations
@@ -46,6 +51,15 @@ def main() -> None:
 
     import jax
     import jax.numpy as jnp
+
+    from deflatedmlmc_schwinger_tpu.utils.tunnel import warm_transfers
+
+    # the tunneled chip's FIRST device->host fetch costs 30-500+ s
+    # (one-time channel bring-up, size-independent); absorb it before any
+    # timed region (utils/tunnel.py)
+    t_warm = time.time()
+    warm_transfers()
+    print(f"# transfer warm-up: {time.time()-t_warm:.1f}s", file=sys.stderr)
 
     from deflatedmlmc_schwinger_tpu.gateway import set_params
     from deflatedmlmc_schwinger_tpu.io import load_operator
@@ -98,7 +112,68 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # ---- 2. probe-solve throughput at the f32 solve target ----
+    # ---- 2. G202: the reference's flagship MLMC experiment ----
+    # Same operator and hierarchy (the shared mg_setup seconds are counted
+    # into the reported wall below); the MLMC profile itself is the gateway
+    # config: dense-exact levels <= 4096, level-0 fine deflation with exact
+    # add-back, dense level-2 inverse applied on the MXU (gateway.py).
+    from deflatedmlmc_schwinger_tpu.trace import mlmc
+
+    phases_m = PhaseTimer()
+    t0 = time.time()
+    result_m = mlmc(op, cfg, solver=solver, verbose=False, timer=phases_m)
+    g202_wall = (time.time() - t0) + setup_s     # include the shared setup
+    print("#", str(phases_m).replace("\n", " | "), file=sys.stderr)
+    trace_m = result_m["trace"]
+    rel_err_m = abs(trace_m - ORACLE) / abs(ORACLE)
+    lv = result_m["results"]
+    n0 = int(lv[0]["nr_ests"])
+    # reference G202 estimate (conservative): its level-0 estimates cost
+    # ~11 s each (BASELINE.md level-0 loop) and its UNDEFLATED level-0
+    # variance is >= ours (k=128-deflated), so charging the reference OUR
+    # nr_ests underestimates its true time; setup/rough/deflation phases
+    # (7.9 + 3.0 + 51.8 s measured) are omitted as negligible against it.
+    baseline_m = n0 * 11.0
+    print(
+        f"# G202 end-to-end: {g202_wall:.1f}s  trace={trace_m:.4f} "
+        f"(oracle {ORACLE:.4f}, |rel err|={rel_err_m:.4f}, "
+        f"agg_stderr={result_m['std_dev']:.3f}, level-0 n={n0})  "
+        f"reference at 11 s/est: ~{baseline_m:.0f}s (estimated)",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            dict(
+                metric="wall_time_to_1pct_error_s_schwinger128_G202",
+                value=round(g202_wall, 1),
+                unit="s",
+                vs_baseline=round(baseline_m / g202_wall, 1),
+                extra=dict(
+                    trace_rel_err=round(rel_err_m, 5),
+                    agg_stderr=round(float(result_m["std_dev"]), 4),
+                    stalled_rows=int(result_m["stalled_rows"]),
+                    vs_baseline_note="estimated: reference G202 never "
+                    "finished; charged at its measured 11 s/level-0-estimate "
+                    "for OUR (deflated, i.e. smaller) sample count",
+                    levels=[
+                        dict(
+                            nr_ests=int(r["nr_ests"]),
+                            dev=round(float(r["ests_dev"]), 3),
+                            trace_re=round(complex(r["ests_avg"]).real, 4),
+                            trace_im=round(complex(r["ests_avg"]).imag, 4),
+                        )
+                        for r in lv
+                    ],
+                    phase_seconds={
+                        k: round(v, 2) for k, v in phases_m.totals.items()
+                    },
+                    shared_mg_setup_s=round(setup_s, 1),
+                ),
+            )
+        )
+    )
+
+    # ---- 3. probe-solve throughput at the f32 solve target ----
     B = 128   # measured sweet spot (64: 65 solves/s, 128: 131, 256: 79)
     # attainable complex64 residual is eps*kappa ~ 1e-4 for this operator;
     # the trace needs only 1e-2, so 5e-4 is the honest f32 solve target
@@ -132,7 +207,7 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # ---- 3. stencil matvec roofline ----
+    # ---- 4. stencil matvec roofline ----
     # measured INSIDE one jitted fori_loop: per-dispatch latency over the
     # tunneled device link is ~1 ms and would otherwise swamp the kernel
     # (r2 reported 1563 us/apply; the kernel itself runs in ~460 us)
@@ -160,6 +235,27 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # ---- 5. per-iteration split of the preconditioned solve ----
+    # one outer FGMRES iteration = V-cycle preconditioner apply + fine
+    # stencil matvec + Arnoldi (orthogonalization, Givens, bookkeeping);
+    # timing the first two in isolation attributes the solve cost
+    # (VERDICT r3 weak #2: publish where the probe-solve time goes)
+    chain_pc = jax.jit(lambda v: lax.fori_loop(0, iters, lambda i, y: pc(y), v))
+    jax.block_until_ready(chain_pc(X).re)
+    t0 = time.time()
+    jax.block_until_ready(chain_pc(X).re)
+    dt_vc = (time.time() - t0) / iters
+    iters_max = int(np.max(np.asarray(res.iters)))
+    per_iter = dt / reps / max(iters_max, 1)
+    frac_vc = dt_vc / per_iter
+    frac_mv = dt_mv / per_iter
+    print(
+        f"# per-iter split (iters_max={iters_max}, {per_iter*1e3:.2f} ms/iter):"
+        f" v-cycle {100*frac_vc:.0f}%  fine stencil {100*frac_mv:.0f}%  "
+        f"arnoldi+other {100*(1-frac_vc-frac_mv):.0f}%",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             dict(
@@ -179,6 +275,12 @@ def main() -> None:
                     stencil_hbm_gbs=round(gbs, 1),
                     stencil_hbm_frac_of_peak=round(gbs / HBM_PEAK_GBS, 3),
                     stencil_gflops=round(gflops, 1),
+                    stalled_rows=int(result["stalled_rows"]),
+                    solve_ms_per_iter=round(per_iter * 1e3, 3),
+                    split_vcycle_frac=round(frac_vc, 3),
+                    split_fine_stencil_frac=round(frac_mv, 3),
+                    split_arnoldi_other_frac=round(1 - frac_vc - frac_mv, 3),
+                    g202_wall_s=round(g202_wall, 1),
                 ),
             )
         )

@@ -162,6 +162,36 @@ class TraceConfig:
     #     stderr sum_l V_l/n_l meets the total budget. Strictly cheaper than
     #     fixed splits when level variances/costs are unbalanced.
     mlmc_schedule: str = "sequential"
+    # TPU-native MLMC upgrades (both OFF by default = reference parity,
+    # reference: stoch_trace.py:348-437):
+    #
+    # Difference levels whose FINE size n_l is <= this cutoff are computed
+    # EXACTLY (dense f64 inverses on the host + the accumulated B-block),
+    # generalizing the reference's exact-coarsest rule to every level small
+    # enough for dense linear algebra. Rationale (measured on-chip r4): the
+    # f32 iterative coarse-level solves floor at ~1e-2 relative residual
+    # (eps32 * kappa of the Galerkin coarse operators -- they are MORE
+    # ill-conditioned than the fine level), so sampling those levels in f32
+    # is bias-limited, while computing them densely is exact, removes their
+    # variance entirely, and frees the whole stochastic budget for the big
+    # levels. Sampled levels whose COARSE operator falls under the cutoff
+    # apply a precomputed f64->f32 dense inverse on the MXU instead of an
+    # iterative solve (accurate: one matmul has no kappa-amplified
+    # iteration floor).
+    mlmc_exact_dense_max_n: int = 0
+    # Deflate the LEVEL-0 difference probes with the Hutchinson gamma3
+    # deflation basis (the basis the rough-trace phase already builds)
+    # instead of the reference's difference-operator eigenvectors. The
+    # projector removes the near-critical modes from the probe BEFORE the
+    # solve, which cuts both the true difference variance and the f32 solve
+    # noise (an undeflated solution has norm ~1/|lambda_min|, so even a
+    # 5e-4-relative solve error scatters estimates by O(100) -- measured
+    # dev 841 undeflated at 128^2). The removed subspace is added back
+    # EXACTLY with one extra batch: tr(M_0 U U^H) = sum_i <U_i, M_0 U_i>,
+    # where M_0 is the full level-0 difference map -- exact for any basis
+    # quality, like correction_mode='solve'. Mutually exclusive with
+    # mlmc_deflat_vctrs[0] > 0.
+    mlmc_fine_deflation: bool = False
 
     # ---- displaced trace tr(D^-1 Pi) (reference: multigrid.py:141-155) ----
     use_permuted: bool = True

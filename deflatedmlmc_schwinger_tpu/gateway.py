@@ -89,6 +89,17 @@ def set_params(example_name: str) -> TraceConfig:
             defl_type="exact",
             defl_eigvs_tol_MLMC=1.0e-1,
             diff_lev_op_tol=1.0e-3,
+            # G202 (MLMC) profile, measured on-chip r4: levels at or below
+            # 4096 unknowns are computed exactly (dense f64 on host) -- the
+            # f32 iterative coarse solves floor at ~1e-2 relative residual,
+            # and dense levels contribute zero variance; the level-0
+            # difference probes reuse the k=128 gamma3 basis with an exact
+            # one-batch add-back, which cut the level-0 deviation 841 -> 73
+            # (undeflated estimates carry O(100) f32 solve noise from
+            # 1/|lambda_min|-sized solutions). The level-0 coarse solve
+            # applies the precomputed dense level-2 inverse on the MXU.
+            mlmc_exact_dense_max_n=4096,
+            mlmc_fine_deflation=True,
             # average the whole padded rough batch: the reference's 5-probe
             # rough trace scatters by +-75%, turning the "1%" stopping target
             # into 0.5-4% actual error (r2 published 3%); 128 rough probes

@@ -104,8 +104,11 @@ def hutchinson(
     If ``mesh`` is given, each probe batch is sharded over its 'samples' axis
     (probe data-parallelism, SURVEY.md P1) -- results are bit-identical to the
     unsharded run thanks to counter-based probe keys."""
+    from deflatedmlmc_schwinger_tpu.utils.tunnel import warm_transfers
+
     timer = timer or PhaseTimer()
     log = print if verbose else (lambda *a, **k: None)
+    warm_transfers()   # absorb the tunnel's first-fetch bring-up up front
     # keep the host-side operator for setup: setup_backend='host' reads the
     # coefficient tensor on the host, and pulling it back off the device
     # costs a (tunnel-latency-bound) device->host transfer for nothing

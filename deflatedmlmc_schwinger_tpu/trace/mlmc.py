@@ -74,6 +74,54 @@ def bblock_matrix(hier: Hierarchy, level: int) -> np.ndarray:
     return cplx.to_complex(rows).T
 
 
+def dense_level_inverse(hier: Hierarchy, level: int) -> np.ndarray:
+    """Host f64 dense inverse of the level operator (complex (n, n)).
+
+    Coarse levels expose their matrix directly; a (small) stencil fine level
+    is materialized by applying the operator to the identity on device."""
+    op = hier.levels[level].op
+    if hasattr(op, "complex_matrix"):
+        M = op.complex_matrix()
+    else:
+        n = hier.levels[level].n
+        eye = CP(jnp.eye(n, dtype=op.dtype), jnp.zeros((n, n), op.dtype))
+        M = np.asarray(cplx.to_complex(op.matvec(eye))).T  # row j = A e_j
+    return np.linalg.inv(M)
+
+
+def exact_difference_trace(
+    hier: Hierarchy,
+    level: int,
+    skip_level: bool,
+    use_permuted: bool,
+    *,
+    Ac_inv: Optional[np.ndarray] = None,
+    Af_inv: Optional[np.ndarray] = None,
+) -> complex:
+    """Exactly evaluate one telescoping difference term on the host in f64,
+    tr((A_l^{-1} - P_l A_c^{-1} R_l) B_l Pi_l^T) -- the dense generalization
+    of the reference's exact-coarsest rule (config.py mlmc_exact_dense_max_n;
+    reference computes only the coarsest this way, stoch_trace.py:418-437).
+
+    ``Ac_inv``/``Af_inv``: optionally pass precomputed dense inverses (the
+    sampling path's coarse-apply inverse is reused here)."""
+    fine = level
+    coarse = level + 2 if (skip_level and level == 0) else level + 1
+    if Af_inv is None:
+        Af_inv = dense_level_inverse(hier, fine)
+    P = hier.levels[fine].P.to_dense()
+    if skip_level and level == 0:
+        P = P @ hier.levels[1].P.to_dense()
+    if Ac_inv is None:
+        Ac_inv = dense_level_inverse(hier, coarse)
+    M = Af_inv - P @ Ac_inv @ P.conj().T
+    if use_permuted:
+        Bl = np.asarray(bblock_matrix(hier, level))
+        # tr(Pi^T X) == tr(roll(X, d, axis=0)) (tests/test_permuted.py)
+        M = np.roll(M @ Bl, hier.levels[level].perm_shift, axis=0)
+    return complex(np.trace(M))
+
+
 def mlmc_step_batch(
     solver: MGSolver,
     cfg: TraceConfig,
@@ -83,6 +131,7 @@ def mlmc_step_batch(
     skip_level: bool,
     fine_solver=None,
     gather: bool = True,
+    coarse_dense_inv: Optional[CP] = None,
 ):
     """One batch of difference-level estimates (reference: utils.py:252-357).
     Returns (estimates (B,), fine iters (B,), coarse iters (B,),
@@ -90,7 +139,13 @@ def mlmc_step_batch(
     above tolerance).
 
     ``fine_solver``: optional lattice-sharded solver for the LEVEL-0 systems
-    (parallel/sharded_solve.py); coarse levels always run replicated."""
+    (parallel/sharded_solve.py); coarse levels always run replicated.
+
+    ``coarse_dense_inv``: optional precomputed dense inverse (CP pair,
+    (n_c, n_c)) of the coarse operator -- one MXU matmul replaces the
+    iterative coarse solve (config.py mlmc_exact_dense_max_n: the f32
+    iterative coarse solve floors at ~1e-2 relative residual, the dense
+    apply does not)."""
     hier = solver.hier
     fine, coarse, restrict, prolong = level_structure(solver, level, skip_level)
     coarsest = hier.nr_levels - 1
@@ -123,6 +178,10 @@ def mlmc_step_batch(
         y = solver.coarsest_solve(xc)
         iters2 = jnp.ones(x0.re.shape[0], jnp.int32)
         stalled = res_f.stalled   # the dense coarsest apply cannot stall
+    elif coarse_dense_inv is not None:
+        y = cplx.matmul_right(xc, coarse_dense_inv)
+        iters2 = jnp.ones(x0.re.shape[0], jnp.int32)
+        stalled = res_f.stalled   # dense apply: no iteration, no stall
     else:
         res_c = solver.solve(xc, cfg.function_tol, level=coarse)
         y = res_c.x
@@ -145,6 +204,7 @@ def mlmc_step_batch(
 def _adaptive_sampling(
     solver, cfg, hier, defls, rough_trace, results, state, state_ckpt,
     probe_source, skip_level, fine_solver, mesh, log,
+    exact_set=frozenset(), dense_invs=None,
 ):
     """Optimal-allocation MLMC sampling (SURVEY.md P2): interleaved batches,
     each issued to the level with the largest marginal variance reduction
@@ -163,9 +223,13 @@ def _adaptive_sampling(
 
     nr_levels = hier.nr_levels
     B = int(cfg.probe_batch)
+    dense_invs = dense_invs or {}
     eps_tot = cfg.stop_safety * abs(cfg.trace_tol * rough_trace)
+    # dense-exact levels contribute zero variance and take no samples, so
+    # the whole aggregate budget goes to the remaining stochastic levels
     active = [
-        i for i in range(nr_levels - 1) if not (skip_level and i == 1)
+        i for i in range(nr_levels - 1)
+        if not (skip_level and i == 1) and i not in exact_set
     ]
     probes = {
         i: make_probe_source(probe_source, cfg.seed + i) for i in active
@@ -184,8 +248,10 @@ def _adaptive_sampling(
         X = probes[i](starts[i], B, n_i, hier.levels[i].op.dtype)
         if mesh is not None:
             X = shard_batch(X, mesh, cfg.sample_axis)
+        cdi = dense_invs.get(i + 2 if (skip_level and i == 0) else i + 1)
         es, it1, it2, coarse, stall = mlmc_step_batch(
-            solver, cfg, i, defls[i], X, skip_level, fine_solver
+            solver, cfg, i, defls[i], X, skip_level, fine_solver,
+            coarse_dense_inv=cdi,
         )
         moments[i].update_batch(es)
         results[i]["function_iters"] += int(np.sum(it1))
@@ -288,8 +354,11 @@ def mlmc(
     exact same counter-keyed probe stream (utils/checkpoint.py)."""
     import os
 
+    from deflatedmlmc_schwinger_tpu.utils.tunnel import warm_transfers
+
     timer = timer or PhaseTimer()
     log = print if verbose else (lambda *a, **k: None)
+    warm_transfers()   # absorb the tunnel's first-fetch bring-up up front
     # host-side operator for setup (see trace/hutchinson.py): avoids a
     # device->host coefficient download when setup_backend='host'
     op_for_setup = op
@@ -310,6 +379,15 @@ def mlmc(
     skip_level = len(skips) == 1
     if skip_level and skips[0] != 1:
         raise Exception("only level 1 can be skipped (composite P0*P1 form)")
+    if (
+        cfg.mlmc_fine_deflation
+        and len(cfg.mlmc_deflat_vctrs)
+        and int(cfg.mlmc_deflat_vctrs[0]) > 0
+    ):
+        raise ValueError(
+            "mlmc_fine_deflation replaces the level-0 difference-operator "
+            "deflation; set mlmc_deflat_vctrs[0] = 0"
+        )
 
     # ---- MG setup ----
     if solver is None:
@@ -359,12 +437,84 @@ def mlmc(
         log(f"level-0 solves lattice-sharded over "
             f"{mesh.shape[cfg.lattice_axis]} '{cfg.lattice_axis}' shards")
 
+    # ---- dense-exact levels & dense coarse inverses (TPU-native:
+    # config.py mlmc_exact_dense_max_n; reference computes only the coarsest
+    # level exactly, stoch_trace.py:418-437) ----
+    coarsest = nr_levels - 1
+    cutoff = int(cfg.mlmc_exact_dense_max_n)
+
+    def _coarse_of(l: int) -> int:
+        return l + 2 if (skip_level and l == 0) else l + 1
+
+    exact_set = set()
+    if cutoff:
+        for l in range(nr_levels - 1):
+            if skip_level and l == 1:
+                continue
+            if hier.levels[l].n <= cutoff:
+                exact_set.add(l)
+    dense_inv_host: Dict[int, np.ndarray] = {}
+    dense_invs: Dict[int, CP] = {}
+    if cutoff:
+        with timer.phase("dense_setup"):
+            for l in range(nr_levels - 1):
+                if (skip_level and l == 1) or l in exact_set:
+                    continue
+                c = _coarse_of(l)
+                if c != coarsest and hier.levels[c].n <= cutoff:
+                    if c not in dense_inv_host:
+                        dense_inv_host[c] = dense_level_inverse(hier, c)
+                    rdt = hier.levels[c].op.dtype
+                    Minv = dense_inv_host[c]
+                    dense_invs[c] = CP(
+                        jnp.asarray(Minv.real.astype(np.dtype(rdt))),
+                        jnp.asarray(Minv.imag.astype(np.dtype(rdt))),
+                    )
+        if exact_set:
+            log(f"dense-exact difference levels: {sorted(exact_set)}")
+
     # ---- per-level deflation (stoch_trace.py:246-274) ----
     defls: List[Deflation] = []
+    hutch_defl = None
     with timer.phase("defl_setup"):
+        if cfg.mlmc_fine_deflation and 0 not in exact_set:
+            # the level-0 difference probes reuse the Hutchinson gamma3
+            # basis (config.py mlmc_fine_deflation); built once here, also
+            # reused by the rough-trace phase below
+            hutch_defl = hutchinson_deflation(op, solver, cfg,
+                                              fine_solver=fine_solver)
+            if mesh is not None and hutch_defl.U is not None:
+                from deflatedmlmc_schwinger_tpu.trace.deflation import (
+                    replicate_deflation,
+                )
+
+                hutch_defl = replicate_deflation(hutch_defl, mesh)
         for i in range(nr_levels - 1):
-            if skip_level and i == 1:
+            if (skip_level and i == 1) or i in exact_set:
                 defls.append(Deflation(U=None, tr1=0.0 + 0.0j))
+                continue
+            if i == 0 and hutch_defl is not None:
+                # exact add-back of the projected-out subspace with ONE batch
+                # of U-column probes: tr(M_0 U U^H) = sum_i <U_i, M_0 U_i>
+                # where M_0 is the full level-0 difference map -- exact for
+                # any basis quality, like correction_mode='solve'
+                k = int(hutch_defl.U.re.shape[1])
+                rows = CP(hutch_defl.U.re.T, hutch_defl.U.im.T)
+                B = int(cfg.probe_batch)
+                if k < B:   # pad to the sampling program's batch shape
+                    idx = jnp.arange(B) % k
+                    rows = CP(rows.re[idx], rows.im[idx])
+                es, _, _, _, stall = mlmc_step_batch(
+                    solver, cfg, 0, Deflation(U=None, tr1=0.0 + 0.0j), rows,
+                    skip_level, fine_solver,
+                    coarse_dense_inv=dense_invs.get(_coarse_of(0)),
+                )
+                check_stalled(
+                    int(np.sum(np.asarray(stall)[:k])), k,
+                    cfg.max_stalled_frac, "mlmc level-0 deflation correction",
+                )
+                tr1 = complex(np.sum(np.asarray(es)[:k]))
+                defls.append(Deflation(U=hutch_defl.U, tr1=tr1))
                 continue
             k = int(cfg.mlmc_deflat_vctrs[i]) if i < len(cfg.mlmc_deflat_vctrs) else 0
             d = mlmc_level_deflation(solver, i, k, cfg, skip_level)
@@ -378,16 +528,22 @@ def mlmc(
 
     # ---- rough trace (stoch_trace.py:281-302) ----
     with timer.phase("rough_trace"):
-        # the rough trace only sets the stopping denominator, so its basis
-        # may be cheaper than the Hutchinson estimator's (config.py:
-        # rough_deflat_vctrs / rough_defl_rounds)
-        rough_cfg = cfg
-        if cfg.rough_deflat_vctrs is not None:
-            rough_cfg = rough_cfg.replace(nr_deflat_vctrs=cfg.rough_deflat_vctrs)
-        rough_defl = hutchinson_deflation(
-            op, solver, rough_cfg, fine_solver=fine_solver,
-            rounds=cfg.rough_defl_rounds,
-        )
+        if hutch_defl is not None:
+            # mlmc_fine_deflation already built the full-quality basis
+            rough_defl = hutch_defl
+        else:
+            # the rough trace only sets the stopping denominator, so its
+            # basis may be cheaper than the Hutchinson estimator's
+            # (config.py: rough_deflat_vctrs / rough_defl_rounds)
+            rough_cfg = cfg
+            if cfg.rough_deflat_vctrs is not None:
+                rough_cfg = rough_cfg.replace(
+                    nr_deflat_vctrs=cfg.rough_deflat_vctrs
+                )
+            rough_defl = hutchinson_deflation(
+                op, solver, rough_cfg, fine_solver=fine_solver,
+                rounds=cfg.rough_defl_rounds,
+            )
         if mesh is not None and rough_defl.U is not None:
             from deflatedmlmc_schwinger_tpu.trace.deflation import replicate_deflation
 
@@ -418,6 +574,20 @@ def mlmc(
         if fine_solver is not None:
             fine_solver.coarsest_lev_iters[i] = 0
 
+    # ---- dense-exact difference levels (zero variance; host f64) ----
+    if exact_set:
+        with timer.phase("exact_levels"):
+            for l in sorted(exact_set):
+                t_l = exact_difference_trace(
+                    hier, l, skip_level, cfg.use_permuted,
+                    Ac_inv=dense_inv_host.get(_coarse_of(l)),
+                    Af_inv=dense_inv_host.get(l),
+                )
+                results[l]["nr_ests"] = 1
+                results[l]["ests_avg"] = t_l
+                results[l]["ests_dev"] = 0.0
+                log(f"level {l}: exact dense difference trace {t_l:.6f}")
+
     # ---- difference-level sampling loops (stoch_trace.py:348-416) ----
     from deflatedmlmc_schwinger_tpu.utils.checkpoint import EstimatorState
 
@@ -432,14 +602,16 @@ def mlmc(
             _adaptive_sampling(
                 solver, cfg, hier, defls, rough_trace, results, state,
                 state_ckpt, probe_source, skip_level, fine_solver, mesh, log,
+                exact_set=exact_set, dense_invs=dense_invs,
             )
     elif cfg.mlmc_schedule != "sequential":
         raise ValueError(f"unknown mlmc_schedule {cfg.mlmc_schedule!r}")
     else:
         with timer.phase("sampling"):
             for i in range(nr_levels - 1):
-                if skip_level and i == 1:
+                if (skip_level and i == 1) or i in exact_set:
                     continue
+                cdi = dense_invs.get(_coarse_of(i))
                 tol_fctr = _level_tol_factor(i, nr_levels, f0, f1, skip_level)
                 level_trace_tol = cfg.stop_safety * abs(
                     cfg.trace_tol * rough_trace * tol_fctr
@@ -478,7 +650,7 @@ def mlmc(
                         X = probes(start, B, n_i, rdt)
                         e, it1, it2, coarse, stall = mlmc_step_batch(
                             solver, cfg, i, defls[i], X, skip_level, fine_solver,
-                            gather=False,
+                            gather=False, coarse_dense_inv=cdi,
                         )
                         dm = upd(dm, e.re, e.im, it1)
                         it2_acc = it2_acc + jnp.sum(it2).astype(rdt)
@@ -513,7 +685,8 @@ def mlmc(
                         if mesh is not None:
                             X = shard_batch(X, mesh, cfg.sample_axis)
                         es, it1, it2, coarse, stall = mlmc_step_batch(
-                            solver, cfg, i, defls[i], X, skip_level, fine_solver
+                            solver, cfg, i, defls[i], X, skip_level,
+                            fine_solver, coarse_dense_inv=cdi,
                         )
                         moments.update_batch(es)
                         results[i]["function_iters"] += int(np.sum(it1))
@@ -561,6 +734,13 @@ def mlmc(
     # ---- complexity model + aggregation (stoch_trace.py:443-467) ----
     nnz = level_nnz(hier)
     for i in range(nr_levels - 1):
+        if i in exact_set:
+            # dense route: one n^3 inverse per operator (fine + coarse),
+            # same charging rule as the exact coarsest below
+            n_f = float(hier.levels[i].n)
+            n_c = float(hier.levels[_coarse_of(i)].n)
+            results[i]["level_complexity"] = n_f ** 3 + n_c ** 3
+            continue
         results[i]["level_complexity"] = results[i]["function_iters"] * flops_vcycle(
             nnz, solver.cfg.smooth_iters, i, i
         )

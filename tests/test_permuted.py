@@ -108,6 +108,32 @@ def test_permuted_telescoping_identity_skip_level(phier):
     assert abs(lvl0 + crst - exact) < 1e-9
 
 
+def test_exact_difference_trace_permuted(phier):
+    """exact_difference_trace (mlmc_exact_dense_max_n path) reproduces the
+    dense displaced telescoping term tr((A_l^{-1} - P A_c^{-1} R) B_l Pi_l^T)
+    for both the plain and the skip-composite form."""
+    from deflatedmlmc_schwinger_tpu.trace.mlmc import exact_difference_trace
+
+    op, A, cfg, hier = phier
+    Ad = np.asarray(A.todense())
+    mats = [Ad] + [l.op.complex_matrix() for l in hier.levels[1:]]
+    invs = [np.linalg.inv(m) for m in mats]
+    Ps = [l.P.to_dense() for l in hier.levels[:-1]]
+    Pis = [_perm_matrix(l.n, l.perm_shift) for l in hier.levels]
+    Bs = [np.eye(hier.levels[0].n)] + [bblock_matrix(hier, i) for i in (1, 2)]
+    # plain level-1 term
+    M1 = invs[1] - Ps[1] @ invs[2] @ Ps[1].conj().T
+    want1 = np.trace(M1 @ Bs[1] @ Pis[1].T)
+    got1 = exact_difference_trace(hier, 1, False, True)
+    assert abs(got1 - want1) < 1e-8 * max(abs(want1), 1)
+    # skip-composite level-0 term (coarse = level 2, P = P0 P1)
+    Pc = Ps[0] @ Ps[1]
+    M0 = invs[0] - Pc @ invs[2] @ Pc.conj().T
+    want0 = np.trace(M0 @ Bs[0] @ Pis[0].T)
+    got0 = exact_difference_trace(hier, 0, True, True)
+    assert abs(got0 - want0) < 1e-8 * max(abs(want0), 1)
+
+
 def test_coarsest_permuted_trace_matches_reference_form(phier):
     """jnp.roll-based Pi_c^T application == dense Pperm matrix product."""
     op, A, cfg, hier = phier

@@ -156,6 +156,49 @@ def test_mlmc_rejects_unknown_schedule(setup16):
         mlmc(op, cfg.replace(mlmc_schedule="nope"), hier=hier, verbose=False)
 
 
+def test_mlmc_exact_dense_levels(setup16):
+    """mlmc_exact_dense_max_n (TPU-native generalization of the reference's
+    exact-coarsest rule, stoch_trace.py:418-437): difference levels under the
+    cutoff are computed exactly (zero variance, one 'estimate'), the exact
+    value equals the dense telescoping term, and the total still matches the
+    dense oracle. Sampled level 0 applies the precomputed dense inverse of
+    its coarse operator instead of an iterative solve."""
+    op, A, cfg, hier = setup16
+    c = cfg.replace(mlmc_exact_dense_max_n=300, mlmc_deflat_vctrs=(8, 0))
+    r = mlmc(op, c, hier=hier, verbose=False)
+    # level sizes are (512, 256, 64): level-1 difference is exact
+    assert r["results"][1]["nr_ests"] == 1
+    assert r["results"][1]["ests_dev"] == 0.0
+    # the exact level equals the dense telescoping term of THIS hierarchy
+    A1 = hier.levels[1].op.complex_matrix()
+    P1 = hier.levels[1].P.to_dense()
+    A2 = hier.levels[2].op.complex_matrix()
+    t1 = np.trace(np.linalg.inv(A1) - P1 @ np.linalg.inv(A2) @ P1.conj().T)
+    assert abs(complex(r["results"][1]["ests_avg"]) - t1) < 1e-6 * max(abs(t1), 1)
+    # total against the dense oracle, 5-sigma (level-0 stderr only)
+    stderr = max(r["std_dev"], 1e-12)
+    assert abs(r["trace"] - EXACT16) < 5 * stderr + 1e-6, (r["trace"], stderr)
+
+
+def test_mlmc_fine_deflation(setup16):
+    """mlmc_fine_deflation: level-0 difference probes deflated with the
+    Hutchinson gamma3 basis, removed subspace added back exactly by the
+    U-column correction batch -- the estimator stays unbiased (dense
+    oracle, 5-sigma) and the level-0 deviation does not exceed the
+    undeflated run's."""
+    op, A, cfg, hier = setup16
+    base = cfg.replace(mlmc_deflat_vctrs=(0, 0), mlmc_exact_dense_max_n=300)
+    r0 = mlmc(op, base, hier=hier, verbose=False)
+    c = base.replace(mlmc_fine_deflation=True)
+    r = mlmc(op, c, hier=hier, verbose=False)
+    stderr = max(r["std_dev"], 1e-12)
+    assert abs(r["trace"] - EXACT16) < 5 * stderr + 1e-6, (r["trace"], stderr)
+    assert r["results"][0]["ests_dev"] <= 1.2 * r0["results"][0]["ests_dev"]
+    # conflict with the reference-style level-0 deflation is rejected
+    with pytest.raises(ValueError, match="mlmc_fine_deflation"):
+        mlmc(op, c.replace(mlmc_deflat_vctrs=(8, 0)), hier=hier, verbose=False)
+
+
 def test_hutchinson_rough_batch_full(setup16):
     """rough_batch_full averages the whole padded rough batch (TPU-native
     tightening of the stopping target; reference uses 5 probes,
