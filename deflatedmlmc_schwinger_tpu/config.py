@@ -149,6 +149,22 @@ class TraceConfig:
     # full-quality basis.
     rough_deflat_vctrs: Optional[int] = None
     rough_defl_rounds: Optional[int] = None
+    # f64 iterative-refinement steps for the deflation CORRECTION solves
+    # (correction_mode='solve' and the MLMC fine-deflation add-back). The
+    # correction right-hand sides are the deflation vectors themselves --
+    # the worst-conditioned systems in the run -- and an f32 solve at
+    # relative residual r can in principle leave a SOLUTION error up to
+    # ~r/sigma_min per vector. Each step recomputes the residual of the
+    # accumulated f64 solution EXACTLY on the host (ops/dirac.py
+    # stencil_matvec_host) and adds one more f32 device solve, collapsing
+    # the worst case to O(r^2/sigma_min). MEASURED (r4): at the flagship's
+    # 5e-4 target the unrefined tr1 was already accurate -- refinement moved
+    # the 128^2 trace by <1e-3 while costing ~30 s (the residual re-solves
+    # are low-mode-rich and run to the stall cutoff), and at 16^2/f32 the
+    # unrefined error was 2.6e-4 of |tr1|~135 (tests/test_refine.py). So
+    # the default is OFF; enable (1-2 steps) for contracts tighter than the
+    # 1% flagship budget or solve targets much looser than 5e-4.
+    defl_refine_steps: int = 0
 
     # ---- MLMC ----
     mlmc_levels_to_skip: Sequence[int] = (1,)

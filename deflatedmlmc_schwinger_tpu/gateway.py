@@ -105,10 +105,14 @@ def set_params(example_name: str) -> TraceConfig:
             # into 0.5-4% actual error (r2 published 3%); 128 rough probes
             # cost the same wall clock and pin the target at the true 1%
             rough_batch_full=True,
-            # stop at 0.8x the target stderr so the REALIZED error meets the
-            # 1% contract with ~1.25 sigma margin (config.py stop_safety;
-            # closes the r2/r3 realized-error misses)
-            stop_safety=0.8,
+            # stop at 0.6x the target stderr: the realized |error| of an
+            # unbiased complex estimate is Rayleigh-distributed, so stopping
+            # AT the target fails the contract with probability 1/e = 37%,
+            # at 0.8x still 21%, at 0.6x ~6% (r4 seed sweep: 4 independent
+            # probe streams landed at 0.3-1.4 sigma scattered AROUND the
+            # oracle -- a draw, not a bias). The ~2.8x sample surcharge is
+            # ~25 s of sampling on-chip.
+            stop_safety=0.6,
             use_permuted=True,
             x_displacement=2,
             seed=51234,

@@ -85,6 +85,28 @@ def stencil_matvec(coeffs: jnp.ndarray, v: jnp.ndarray, nx: int, nt: int) -> jnp
     return out.reshape(v.shape)
 
 
+def stencil_matvec_host(coeffs, v, nx: int, nt: int):
+    """Host (numpy, caller-chosen precision) twin of ``stencil_matvec``.
+
+    Used to compute EXACT f64 residuals of f32 device solves for iterative
+    refinement of the deflation-correction solves (trace/deflation.py):
+    ``coeffs`` is the complex (2, 2, 5, X, T) array, ``v`` a complex
+    (..., N) batch."""
+    import numpy as np
+
+    batch_shape = v.shape[:-1]
+    g = v.reshape(batch_shape + (2, nx, nt))
+    out = np.zeros_like(g)
+    for k, (dx, dt) in enumerate(TAPS):
+        shifted = g
+        if dx:
+            shifted = np.roll(shifted, -dx, axis=-2)
+        if dt:
+            shifted = np.roll(shifted, -dt, axis=-1)
+        out = out + np.einsum("abxt,...bxt->...axt", coeffs[:, :, k], shifted)
+    return out.reshape(v.shape)
+
+
 @struct.dataclass
 class PairStencilOperator:
     """Device form of the stencil operator on (re, im) pairs.

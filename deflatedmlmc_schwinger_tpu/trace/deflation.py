@@ -59,6 +59,63 @@ def _device_basis(V: np.ndarray, rdtype) -> CP:
     )
 
 
+def solve_refined_host(basis_solver, op, rhs: CP, tol: float, steps: int,
+                       pad_to: int):
+    """Solve A Z = rhs for k pair rows with ``steps`` rounds of f64
+    host-residual iterative refinement; returns (Z complex128 host (k, n),
+    stalled bool (k,) of the first pass).
+
+    The device solves run at the f32-attainable ``tol``; after each, the
+    residual of the ACCUMULATED f64 solution is recomputed EXACTLY on the
+    host (ops/dirac.py stencil_matvec_host) and one more device solve adds
+    the correction. Final solution error O(tol^2/sigma_min) instead of the
+    single-solve O(tol/sigma_min) -- which matters precisely for the
+    low-mode correction right-hand sides (config.py defl_refine_steps).
+
+    Rows are cyclically padded to ``pad_to`` so every solve reuses the
+    sampling program's XLA shape. Refinement is skipped (device result
+    returned as-is) when the solver's mesh spans processes (the solution is
+    not host-addressable) or the operator has no host coefficient form."""
+    import jax.numpy as jnp
+
+    from deflatedmlmc_schwinger_tpu.ops.dirac import stencil_matvec_host
+
+    k = rhs.re.shape[0]
+
+    def pad(x: CP) -> CP:
+        if k < pad_to:
+            idx = jnp.arange(pad_to) % k
+            return CP(x.re[idx], x.im[idx])
+        return x
+
+    res = basis_solver.solve(pad(rhs), tol)
+    stalled = np.asarray(res.stalled)[:k]
+    Z = (np.asarray(res.x.re[:k], np.float64)
+         + 1j * np.asarray(res.x.im[:k], np.float64))
+    mesh = getattr(basis_solver, "mesh", None)
+    if mesh is not None:
+        from deflatedmlmc_schwinger_tpu.parallel.mesh import spans_processes
+
+        if spans_processes(mesh):
+            steps = 0
+    if not hasattr(op, "coeffs"):
+        steps = 0
+    rdt = op.dtype
+    if steps:
+        C = (np.asarray(op.coeffs.re, np.float64)
+             + 1j * np.asarray(op.coeffs.im, np.float64))
+        bh = (np.asarray(rhs.re, np.float64)
+              + 1j * np.asarray(rhs.im, np.float64))
+        for _ in range(int(steps)):
+            r = bh - stencil_matvec_host(C, Z, op.nx, op.nt)
+            rp = CP(jnp.asarray(r.real.astype(np.dtype(rdt))),
+                    jnp.asarray(r.imag.astype(np.dtype(rdt))))
+            dres = basis_solver.solve(pad(rp), tol)
+            Z = Z + (np.asarray(dres.x.re[:k], np.float64)
+                     + 1j * np.asarray(dres.x.im[:k], np.float64))
+    return Z, stalled
+
+
 def hutchinson_deflation(
     op,
     solver: MGSolver,
@@ -135,23 +192,22 @@ def hutchinson_deflation(
         dc = np.asarray(diag.re) + 1j * np.asarray(diag.im)
         tr1 = complex(np.sum(dc / np.abs(theta)))
     elif correction_mode == "solve":
-        # exact: tr(A^{-1} Pi^T U U^H) = sum_i <U_i, A^{-1} Pi^T U_i>
+        # exact: tr(A^{-1} Pi^T U U^H) = sum_i <U_i, A^{-1} Pi^T U_i>.
+        # The rhs are the deflation vectors -- the hardest systems in the
+        # run -- so the f32 solves get f64 host-residual refinement
+        # (solve_refined_host; an unrefined f32 correction biased the 128^2
+        # trace by ~+0.5, config.py defl_refine_steps), and the rows pad to
+        # the sampling batch size so every solve reuses that XLA program.
         rhs = Ur
         if cfg.use_permuted and d:
             rhs = shift_rows_down_pair(rhs, d)  # Pi^T @ U
-        fn_tol = cfg.solver.effective_tol(
-            cfg.function_tol, cplx.complex_dtype(rdtype)
+        Z, _ = solve_refined_host(
+            basis_solver, op, rhs, cfg.function_tol,
+            int(cfg.defl_refine_steps), int(cfg.probe_batch),
         )
-        # pad the k solve rows up to the sampling batch size (row i repeats
-        # rhs[i % k]) so this solve reuses the sampling program's shape --
-        # no extra XLA compile/executable load (see cfg.defl_buffer)
-        B = int(cfg.probe_batch)
-        if k < B:
-            idx = jnp.arange(B) % k
-            rhs = CP(rhs.re[idx], rhs.im[idx])
-        Z = basis_solver.solve(rhs, fn_tol).x   # batched solve
-        diag = cplx.cdot(Ur, Z[:k])
-        tr1 = complex(float(jnp.sum(diag.re)) + 1j * float(jnp.sum(diag.im)))
+        Uh = (np.asarray(Ur.re, np.float64)
+              + 1j * np.asarray(Ur.im, np.float64))
+        tr1 = complex(np.sum(np.conj(Uh) * Z))
     else:
         raise ValueError(correction_mode)
     return Deflation(

@@ -497,23 +497,52 @@ def mlmc(
                 # exact add-back of the projected-out subspace with ONE batch
                 # of U-column probes: tr(M_0 U U^H) = sum_i <U_i, M_0 U_i>
                 # where M_0 is the full level-0 difference map -- exact for
-                # any basis quality, like correction_mode='solve'
+                # any basis quality, like correction_mode='solve'. The fine
+                # solve gets f64 host-residual refinement (the rhs are the
+                # deflation vectors themselves; an unrefined f32 solve
+                # biases tr1 by ~tol/sigma_min per vector -- see
+                # trace/deflation.py solve_refined_host). The coarse term
+                # applies the dense inverse, which is safe for low-mode rhs
+                # (the rhs aligns with the inverse's dominant directions, so
+                # the f32 matmul has no cancellation).
+                from deflatedmlmc_schwinger_tpu.mg.diff_op import level_structure
+                from deflatedmlmc_schwinger_tpu.trace.deflation import (
+                    solve_refined_host,
+                )
+
                 k = int(hutch_defl.U.re.shape[1])
                 rows = CP(hutch_defl.U.re.T, hutch_defl.U.im.T)
-                B = int(cfg.probe_batch)
-                if k < B:   # pad to the sampling program's batch shape
-                    idx = jnp.arange(B) % k
-                    rows = CP(rows.re[idx], rows.im[idx])
-                es, _, _, _, stall = mlmc_step_batch(
-                    solver, cfg, 0, Deflation(U=None, tr1=0.0 + 0.0j), rows,
-                    skip_level, fine_solver,
-                    coarse_dense_inv=dense_invs.get(_coarse_of(0)),
+                _, coarse0, restrict0, prolong0 = level_structure(
+                    solver, 0, skip_level
+                )
+                x1 = rows
+                if cfg.use_permuted:
+                    x1 = shift_rows_down_pair(x1, hier.levels[0].perm_shift)
+                    x1 = bblock_apply(hier, 0, x1)   # B_0 = I (kept for form)
+                Z, stalled = solve_refined_host(
+                    fine_solver or solver, op, x1, cfg.function_tol,
+                    int(cfg.defl_refine_steps), int(cfg.probe_batch),
                 )
                 check_stalled(
-                    int(np.sum(np.asarray(stall)[:k])), k,
-                    cfg.max_stalled_frac, "mlmc level-0 deflation correction",
+                    int(np.sum(stalled)), k, cfg.max_stalled_frac,
+                    "mlmc level-0 deflation correction",
                 )
-                tr1 = complex(np.sum(np.asarray(es)[:k]))
+                Uh = (np.asarray(rows.re, np.float64)
+                      + 1j * np.asarray(rows.im, np.float64))
+                e1 = np.sum(np.conj(Uh) * Z, axis=1)            # (k,)
+                xc = restrict0(x1)
+                cdi0 = dense_invs.get(_coarse_of(0))
+                if coarse0 == coarsest:
+                    y = solver.coarsest_solve(xc)
+                elif cdi0 is not None:
+                    y = cplx.matmul_right(xc, cdi0)
+                else:
+                    y = solver.solve(xc, cfg.function_tol, level=coarse0).x
+                w = prolong0(y)
+                e2d = cplx.cdot(rows, w)
+                e2 = (np.asarray(e2d.re, np.float64)
+                      + 1j * np.asarray(e2d.im, np.float64))
+                tr1 = complex(np.sum(e1 - e2))
                 defls.append(Deflation(U=hutch_defl.U, tr1=tr1))
                 continue
             k = int(cfg.mlmc_deflat_vctrs[i]) if i < len(cfg.mlmc_deflat_vctrs) else 0
