@@ -173,6 +173,54 @@ def main() -> None:
         )
     )
 
+    # ---- 2b. G301: generated 256^2, one chip (beyond the reference's
+    # largest lattice; SURVEY.md section 5.7 / BASELINE.json config #4) ----
+    cfg3 = set_params("schwinger256")
+    t0 = time.time()
+    op3, _ = load_operator(cfg3.matrix, cfg3.mass, latt_dims=cfg3.latt_dims,
+                           dtype=np.complex64)
+    phases3 = PhaseTimer()
+    result3 = hutchinson(op3, cfg3, verbose=False, timer=phases3)
+    g301_wall = time.time() - t0
+    tr3 = result3["trace"]
+    stderr3 = result3["std_dev"] / max(np.sqrt(result3["nr_ests"]), 1.0)
+    print(
+        f"# G301 (gen 256^2) end-to-end: {g301_wall:.1f}s  trace={tr3:.1f}  "
+        f"stderr={stderr3:.2f}  n={result3['nr_ests']}  "
+        f"(no external oracle: generated ensemble; the estimator machinery "
+        f"is oracle-tested at 16^2-64^2)",
+        file=sys.stderr,
+    )
+    # the reference cannot run this config at all (no 256^2 .mat; its CSR
+    # solve rate would scale ~1/4 of the 128^2 0.096/s) -- vs_baseline uses
+    # that extrapolated probe rate on OUR sample count
+    baseline3 = (result3["nr_ests"] + cfg3.probe_batch) / (BASELINE_SOLVES_PER_SEC / 4)
+    print(
+        json.dumps(
+            dict(
+                metric="wall_time_to_stop_s_gen256_G301",
+                value=round(g301_wall, 1),
+                unit="s",
+                vs_baseline=round(baseline3 / g301_wall, 1),
+                extra=dict(
+                    trace_re=round(tr3.real, 2),
+                    trace_im=round(tr3.imag, 2),
+                    stderr=round(float(stderr3), 3),
+                    rel_stderr=round(float(stderr3 / abs(tr3)), 6),
+                    nr_ests=int(result3["nr_ests"]),
+                    stalled_rows=int(result3["stalled_rows"]),
+                    phase_seconds={
+                        k: round(v, 2) for k, v in phases3.totals.items()
+                    },
+                    vs_baseline_note="extrapolated: the reference has no "
+                    "256^2 config; charged at 1/4 of its measured 128^2 "
+                    "probe rate",
+                ),
+            )
+        )
+    )
+    del op3, result3
+
     # ---- 3. probe-solve throughput at the f32 solve target ----
     B = 128   # measured sweet spot (64: 65 solves/s, 128: 131, 256: 79)
     # attainable complex64 residual is eps*kappa ~ 1e-4 for this operator;

@@ -384,14 +384,51 @@ def inverse_iteration_smallest_device(
         L = np.linalg.cholesky(Gs + (eps * scale) * np.eye(m))
         return sla.solve_triangular(L.conj().T, np.eye(m), lower=False)
 
+    # The whole harmonic-Ritz round runs ON DEVICE as one jitted program
+    # (gram -> whitening chol -> projection -> harmonic pencil solve ->
+    # recombination): the m x m cholesky/eigh/triangular solves lower fine
+    # on the axon TPU for COMPLEX inputs (only complex contractions do not;
+    # the big contractions stay pair-form einsums). This cuts the ~6 small
+    # host round-trips per round that dominated deflation setup over the
+    # tunneled link (measured r4: ~0.3-0.5 s of latency each); the only
+    # per-round fetch is the stacked (theta, res) diagnostics pair.
+    from jax.scipy.linalg import solve_triangular as jsolve_tri
+
+    @jax.jit
+    def device_round(Vd: CP):
+        eyec = jnp.eye(m, dtype=cplx.complex_dtype(rdtype))
+        G = gram(Vd)
+        Gc = G.re + 1j * G.im
+        Gs = 0.5 * (Gc + Gc.conj().T)
+        scale = jnp.real(jnp.trace(Gs)) / m
+        L = jnp.linalg.cholesky(Gs + (eps * scale) * eyec)
+        T = jsolve_tri(L.conj().T, eyec, lower=False)
+        W, U, Ad, Bd = project(Vd, CP(jnp.real(T), jnp.imag(T)))
+        A = Ad.re + 1j * Ad.im
+        B = Bd.re + 1j * Bd.im
+        A = 0.5 * (A + A.conj().T)
+        B = 0.5 * (B + B.conj().T)
+        scb = jnp.real(jnp.trace(B)) / m
+        Lb = jnp.linalg.cholesky(B + (eps * scb) * eyec)
+        M = jsolve_tri(Lb, A, lower=True)
+        M = jsolve_tri(Lb, M.conj().T, lower=True).conj().T
+        M = 0.5 * (M + M.conj().T)
+        mu, Z = jnp.linalg.eigh(M)
+        Y = jsolve_tri(Lb.conj().T, Z, lower=False)
+        order = jnp.argsort(
+            jnp.where(jnp.abs(mu) > 0, 1.0 / jnp.abs(mu), jnp.inf)
+        )
+        Y = Y[:, order]
+        Vd2, _, theta, res = recombine(W, U, CP(jnp.real(Y), jnp.imag(Y)))
+        return Vd2, jnp.stack([theta, res])
+
     prev_theta = None
     for r in range(rounds):
         Vd = apply_inv_pair(Vd)                      # (m, n) batched solve
-        W, U, Ad, Bd = project(Vd, _to_pair_rows(orth_T(Vd), rdtype))
-        Y = _harmonic_small_solve(cplx.to_complex(Ad), cplx.to_complex(Bd), eps)
-        Vd, _, theta_d, res_d = recombine(W, U, _to_pair_rows(Y, rdtype))
-        res = np.asarray(res_d, dtype=np.float64)
-        theta_r = np.abs(np.asarray(theta_d, dtype=np.float64))[:k]
+        Vd, diag_d = device_round(Vd)
+        diag = np.asarray(diag_d, dtype=np.float64)  # ONE fetch per round
+        theta_full, res = diag[0], diag[1]
+        theta_r = np.abs(theta_full)[:k]
         if tol > 0 and float(np.max(res[:k])) < tol:
             # Residuals measure Ritz-pair quality, NOT subspace
             # completeness: a deficient subspace (an interior mode not yet

@@ -48,8 +48,14 @@ def mp_results():
                 q.kill()
             pytest.fail("multi-process worker timed out")
         assert p.returncode == 0, err[-3000:]
-        # gloo prints connection banners on stdout; take the JSON line
-        json_lines = [l for l in out.splitlines() if l.startswith("{")]
+        # gloo prints connection banners on stdout, sometimes WITHOUT a
+        # trailing newline, so the worker's JSON may share a line with a
+        # banner fragment -- scan for the marker instead of line starts
+        json_lines = []
+        for line in out.splitlines():
+            i = line.find('{"pid"')
+            if i >= 0:
+                json_lines.append(line[i:])
         assert json_lines, (out, err[-2000:])
         outs.append(json.loads(json_lines[-1]))
     return sorted(outs, key=lambda d: d["pid"])
