@@ -248,13 +248,14 @@ def hutchinson(
             stall_acc = jnp.zeros((), jnp.int32)
             upd = jax.jit(device_moments_update)
             flag_fn = jax.jit(device_stop_and_stalled)
-            # the [stop, stalled] flags are read ONE batch late: batch i+1 is
-            # already dispatched while flags i cross the (high-latency
-            # tunnel) host link, so the device never idles between batches.
-            # Worst case is one extra batch of samples folded into the
-            # moments -- the stopping contract (stderr < tol at the reported
-            # n) still holds.
-            prev_flag = None
+            # the [stop, stalled] flags are read TWO batches late: batches
+            # i+1 and i+2 are already dispatched while flags i cross the
+            # (high-latency tunnel) host link, so the device never idles
+            # between batches even when a fetch costs a sizable fraction of
+            # a batch. Worst case is two extra batches of samples folded
+            # into the moments -- the stopping contract (stderr < tol at the
+            # reported n) still holds.
+            inflight = []
             while start < cfg.max_nr_ests:
                 X = probes(start, B, n, rdtype)
                 e, iters, stall = hutchinson_step_batch(
@@ -263,16 +264,17 @@ def hutchinson(
                 dm = upd(dm, e.re, e.im, iters)
                 stall_acc = stall_acc + jnp.sum(stall).astype(jnp.int32)
                 start += B
-                flag = flag_fn(dm, rough_trace_tol, cfg.min_nr_ests, stall_acc)
-                # blocking on the PREVIOUS batch's flags keeps this batch in
-                # flight during the host round-trip
-                if prev_flag is not None:
-                    stop, nstall = (int(v) for v in np.asarray(prev_flag))
-                    check_stalled(nstall, start - B - resume_at,
+                inflight.append(
+                    (start, flag_fn(dm, rough_trace_tol, cfg.min_nr_ests,
+                                    stall_acc))
+                )
+                if len(inflight) > 2:
+                    seen, flag = inflight.pop(0)
+                    stop, nstall = (int(v) for v in np.asarray(flag))
+                    check_stalled(nstall, seen - resume_at,
                                   cfg.max_stalled_frac, "hutchinson sampling")
                     if stop:
                         break
-                prev_flag = flag
             moments = moments.merge(device_moments_to_host(dm))
             function_iters += int(np.asarray(dm.iters))
             nstall = int(np.asarray(stall_acc))

@@ -672,7 +672,11 @@ def mlmc(
                     upd = jax.jit(device_moments_update)
                     flag_fn = jax.jit(device_stop_and_stalled)
                     coarse = None
-                    prev_flag = None
+                    # flags read TWO batches late (see trace/hutchinson.py):
+                    # both later batches stay in flight during the host
+                    # round-trip; at worst two extra batches fold into the
+                    # moments -- still a valid stop, stderr only shrinks
+                    inflight = []
                     while start < cfg.max_nr_ests:
                         # no checkpoint on this path, so `moments` is empty at
                         # entry and dm alone carries the level's statistics
@@ -685,19 +689,17 @@ def mlmc(
                         it2_acc = it2_acc + jnp.sum(it2).astype(rdt)
                         stall_acc = stall_acc + jnp.sum(stall).astype(jnp.int32)
                         start += B
-                        flag = flag_fn(dm, level_trace_tol, cfg.min_nr_ests,
-                                       stall_acc)
-                        # block on the PREVIOUS batch's flags: this batch stays
-                        # in flight during the host round-trip (at worst one
-                        # extra batch folds into the moments -- still a valid
-                        # stop: stderr only shrinks with more samples)
-                        if prev_flag is not None:
-                            stop, nstall = (int(v) for v in np.asarray(prev_flag))
-                            check_stalled(nstall, start - B,
+                        inflight.append(
+                            (start, flag_fn(dm, level_trace_tol,
+                                            cfg.min_nr_ests, stall_acc))
+                        )
+                        if len(inflight) > 2:
+                            seen, flag = inflight.pop(0)
+                            stop, nstall = (int(v) for v in np.asarray(flag))
+                            check_stalled(nstall, seen,
                                           cfg.max_stalled_frac, f"mlmc level {i}")
                             if stop:
                                 break
-                        prev_flag = flag
                     moments = moments.merge(device_moments_to_host(dm))
                     results[i]["function_iters"] += int(np.asarray(dm.iters))
                     nstall = int(np.asarray(stall_acc))
