@@ -74,6 +74,35 @@ def bblock_matrix(hier: Hierarchy, level: int) -> np.ndarray:
     return cplx.to_complex(rows).T
 
 
+def bblock_matrix_host(hier: Hierarchy, level: int) -> np.ndarray:
+    """Host sparse construction of B_l = R_{l-1} B_{l-1} Pi_{l-1}^H P_{l-1}
+    Pi_l (the reference materializes the same sparse products,
+    multigrid.py:328-331): P is aggregate-block-diagonal and Pi a cyclic
+    permutation, so the whole recursion is sparse matmuls in milliseconds --
+    no device programs, no tunnel fetches beyond the small P blocks. Used by
+    the exact-level and coarsest-trace phases; the sampling path keeps the
+    lazy device composition (bblock_apply)."""
+    import scipy.sparse as sp
+
+    def P_sparse(P) -> "sp.csr_matrix":
+        b = np.asarray(cplx.to_complex(P.blocks)).astype(np.complex128)
+        return sp.block_diag(list(b), format="csr")
+
+    def Pi(n: int, d: int):
+        rows = np.arange(n)
+        return sp.csr_matrix(
+            (np.ones(n), (rows, (rows + d) % n)), shape=(n, n)
+        )
+
+    B = sp.identity(hier.levels[0].n, format="csr", dtype=np.complex128)
+    for l in range(1, level + 1):
+        Pl = P_sparse(hier.levels[l - 1].P)
+        Pi_prev = Pi(hier.levels[l - 1].n, hier.levels[l - 1].perm_shift)
+        Pi_l = Pi(hier.levels[l].n, hier.levels[l].perm_shift)
+        B = Pl.conj().T @ (B @ (Pi_prev.conj().T @ (Pl @ Pi_l)))
+    return np.asarray(B.todense())
+
+
 def dense_level_inverse(hier: Hierarchy, level: int) -> np.ndarray:
     """Host f64 dense inverse of the level operator (complex (n, n)).
 
@@ -115,11 +144,15 @@ def exact_difference_trace(
     if Ac_inv is None:
         Ac_inv = dense_level_inverse(hier, coarse)
     M = Af_inv - P @ Ac_inv @ P.conj().T
-    if use_permuted:
-        Bl = np.asarray(bblock_matrix(hier, level))
-        # tr(Pi^T X) == tr(roll(X, d, axis=0)) (tests/test_permuted.py)
-        M = np.roll(M @ Bl, hier.levels[level].perm_shift, axis=0)
-    return complex(np.trace(M))
+    if not use_permuted:
+        return complex(np.trace(M))
+    # displaced trace tr(M B_l Pi_l^T) WITHOUT the n^3 product M @ B_l:
+    # tr(M N) = sum(M * N^T) elementwise, and N = B_l Pi_l^T is a column
+    # roll of the host-sparse B_l (tests/test_permuted.py pins the roll
+    # identity; bblock_matrix_host == the device bblock operator)
+    Bl = bblock_matrix_host(hier, level)
+    N = np.roll(Bl, -hier.levels[level].perm_shift, axis=1)
+    return complex(np.sum(M * N.T))
 
 
 def mlmc_step_batch(
@@ -755,7 +788,7 @@ def mlmc(
         results[-1]["nr_ests"] += 1
         M = cplx.to_complex(hier.coarsest_inv)
         if cfg.use_permuted:
-            Bc = bblock_matrix(hier, nr_levels - 1)
+            Bc = bblock_matrix_host(hier, nr_levels - 1)
             M = M @ Bc
             M = np.roll(M, hier.levels[-1].perm_shift, axis=0)  # Pi_c^T @ M
         results[-1]["ests_avg"] = complex(np.trace(M))

@@ -108,6 +108,20 @@ def test_permuted_telescoping_identity_skip_level(phier):
     assert abs(lvl0 + crst - exact) < 1e-9
 
 
+def test_bblock_host_matches_device(phier):
+    """bblock_matrix_host (sparse host recursion, used by the exact-level
+    and coarsest phases) equals the device bblock operator at every level."""
+    from deflatedmlmc_schwinger_tpu.trace.mlmc import bblock_matrix_host
+
+    op, A, cfg, hier = phier
+    for level in (1, 2):
+        np.testing.assert_allclose(
+            bblock_matrix_host(hier, level),
+            np.asarray(bblock_matrix(hier, level)),
+            atol=1e-10,
+        )
+
+
 def test_exact_difference_trace_permuted(phier):
     """exact_difference_trace (mlmc_exact_dense_max_n path) reproduces the
     dense displaced telescoping term tr((A_l^{-1} - P A_c^{-1} R) B_l Pi_l^T)
