@@ -13,9 +13,23 @@ import os
 
 
 def enable(cache_dir: str | None = None) -> None:
-    """Enable JAX's persistent compilation cache (idempotent)."""
+    """Enable JAX's persistent compilation cache (idempotent).
+
+    ACCELERATOR backends only. XLA:CPU persists ahead-of-time executables
+    specialized to the compiling host's CPU features; deserializing them is
+    unreliable in this image (the loader warns about machine-feature
+    mismatches and sporadically SEGFAULTS mid-run -- observed r4 twice,
+    both inside compilation_cache.get_executable_and_time on CPU, even with
+    a freshly written same-machine cache). CPU compiles are seconds, so the
+    persistent cache buys little there anyway; the in-memory jit cache
+    still covers each process. The cache matters on the tunneled TPU,
+    where each cold compile costs tens of seconds -- and TPU artifacts are
+    target-code for the accelerator, not host-CPU AOT, so loading them is
+    safe."""
     import jax
 
+    if jax.default_backend() == "cpu":
+        return
     if cache_dir is None:
         cache_dir = os.environ.get(
             "DMLMC_JAX_CACHE",

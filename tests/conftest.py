@@ -52,3 +52,22 @@ def op128():
 def dense16(op16):
     _, A = op16
     return np.asarray(A.todense())
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Reset JAX's in-process executable caches after each test module.
+
+    The unbounded jit cache keeps every compiled executable (and its
+    captured hierarchy constants) alive for the whole suite, and letting
+    XLA:CPU state accumulate across ~115 tests made a late fgmres
+    COMPILATION segfault deterministically (r4; the same test passes alone
+    and the host has >100 GB free, so it is toolchain state, not memory).
+    Clearing between modules re-pays some per-module compiles but keeps
+    each module's compilation environment fresh.
+    """
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
