@@ -98,11 +98,26 @@ class TraceConfig:
     # below stop_safety * |trace_tol * rough_trace|.  1.0 = reference parity
     # (stoch_trace.py:118,147-154) -- but a target sitting exactly at the
     # tolerance means the REALIZED |error| exceeds it whenever the estimate
-    # draws >~1 sigma (observed in rounds 2/3: published errors 3.0% and
-    # 1.39% against a 1% target).  The tuned flagship configs use 0.8, a
-    # ~56% sample surcharge (1/0.8^2) that puts ~1.25 sigma of margin
-    # between the target and the contract.
+    # draws >~1 sigma: for a complex-Gaussian estimate the miss probability
+    # is P(|err| > tol) = exp(-(tol/stderr)^2), i.e. 37% at 1.0, 21% at 0.8
+    # (~56% sample surcharge), 13% at 0.7 (~2x surcharge), ~6% at 0.6
+    # (~2.8x surcharge -- what the r4 flagship shipped, trading 30 s of
+    # sampling for the margin; observed rounds 2/3 misses: 3.0% and 1.39%
+    # realized error against a 1% target at safety 1.0).  This tail is a
+    # property of the final stderr alone -- no stopping-rule cleverness
+    # changes it -- so the safety factor is the one honest knob; the r5
+    # tuned flagship ships 0.7 + stop_confirm (below) and verifies the
+    # realized error against the recorded oracle in the bench.
     stop_safety: float = 1.0
+    # Two-pass stopping confirmation (trace/stats.py ConfirmedStop): stop
+    # only when the stderr condition holds on two checks separated by >= 1
+    # batch. Guards against stopping on a transiently UNDERESTIMATED
+    # std_dev (the n-sample deviation has O(1/sqrt(n)) relative noise --
+    # at the flagship's n~30k that noise is ~0.4%, at a 16^2 run's n~100
+    # it is ~7% and a lucky batch can stop the run a factor early). It
+    # does NOT shrink the Rayleigh tail of the realized error (see
+    # stop_safety); surcharge is at most one extra batch.
+    stop_confirm: bool = False
 
     # ---- multigrid hierarchy (reference: multigrid.py:100-344) ----
     max_nr_levels: int = 4
@@ -127,6 +142,15 @@ class TraceConfig:
     # UNCHANGED estimator variance -- the correction_mode='solve' tr1 is
     # exact for any basis, so a loose basis costs only variance, not bias.
     defl_subspace_rounds: int = 6
+    # Chebyshev warm-start for the Hutchinson deflation basis: degree of ONE
+    # device filter pass (in lambda^2) applied to the random start block
+    # before the first inverse-iteration round; 0 disables. A filter matvec
+    # costs ~1 ms on-chip for the flagship block while one inverse round
+    # costs seconds of MG solves on near-kernel right-hand sides, so a
+    # degree-600+ warm filter replaces 2-3 solve rounds for ~1 s of VPU
+    # work (measured r5: rounds 5 -> 2 with degree 800 cut defl_setup
+    # 24.8 s -> under 10 s at matching per-probe deviation).
+    defl_warm_filter_degree: int = 0
     # Subspace buffer size m (None -> max(k+2, 1.25k)). Setting it equal to
     # probe_batch makes every deflation-setup solve reuse the SAMPLING
     # batch's XLA program -- zero extra compiles/executable loads, which

@@ -239,7 +239,14 @@ def setup_hierarchy(
     if cfg.setup_backend == "host":
         from deflatedmlmc_schwinger_tpu.mg.host_setup import setup_hierarchy_host
 
-        return setup_hierarchy_host(op0, cfg)
+        hier = setup_hierarchy_host(op0, cfg)
+        # the quality flag is honored at the DISPATCH level so both backends
+        # run the same invariant checks (reference: multigrid.py:282-316 runs
+        # them whenever the flag is set, regardless of how setup was done)
+        if cfg.check_quality_MG:
+            for name, val in check_quality(hier).items():
+                print(f"\t{name} = {val:.3e}")
+        return hier
     if cfg.setup_backend != "device":
         raise ValueError(
             f"setup_backend must be 'host' or 'device', got {cfg.setup_backend!r}"

@@ -350,13 +350,24 @@ def inverse_iteration_smallest_device(
     buffer: Optional[int] = None,
     tol: float = 0.0,
     V0: Optional[np.ndarray] = None,
+    warm_filter_degree: int = 0,
 ) -> DeviceEigResult:
     """Device-resident twin of ``inverse_iteration_smallest``: the subspace
     stays on the device as (m, n) row pairs across rounds; per round only the
     m x m Gram/projection matrices and the (m,) Ritz residuals cross the host
     link. The host version round-trips the full (n, m) basis ~6 times per
     round, which on a tunneled TPU dominates the deflation setup (measured:
-    each device<->host transfer pays 0.1-20 s of link latency)."""
+    each device<->host transfer pays 0.1-20 s of link latency).
+
+    ``warm_filter_degree`` > 0 runs ONE Chebyshev filter pass (in t =
+    lambda^2, solvers/eigs.py _filter_factory) of that degree over the
+    random start block before the first solve round. The economics on-chip:
+    a filter matvec costs ~1 ms for the flagship block while one inverse
+    round costs seconds of MG solves on near-kernel right-hand sides, and a
+    degree-d filter boosts modes under the cut by ~e^{2 d sqrt(a/b)} over
+    the bulk -- so a high-degree warm filter (600-1000) replaces 2-3 solve
+    rounds for ~1 s of VPU work (the r5 defl-setup reduction,
+    config.py defl_warm_filter_degree)."""
     m = buffer if buffer is not None else max(k + 2, int(round(1.25 * k)))
     m = min(m, n)
     if V0 is not None:
@@ -373,6 +384,16 @@ def inverse_iteration_smallest_device(
             jax.random.normal(kre, (m, n), dtype=jnp.dtype(rdtype)),
             jax.random.normal(kim, (m, n), dtype=jnp.dtype(rdtype)),
         )
+    if warm_filter_degree and V0 is None:
+        lam = power_bound(matvec_pair, n, rdtype, seed=seed + 17)
+        b = lam * lam
+        # cut at ~1% of lam_max: the near-critical modes this deflation
+        # exists for sit 2+ orders below the bulk edge, and the filter only
+        # needs to hand inverse iteration a subspace dominated by them
+        a = max((1.0e-2 * lam) ** 2, b * 1.0e-12)
+        filt = _filter_factory(matvec_pair)
+        Vd = filt(Vd, jnp.asarray(a, rdtype), jnp.asarray(b, rdtype),
+                  int(warm_filter_degree))
     gram, project, recombine = _ritz_kernels_factory(matvec_pair)
     eps = 1e3 * np.finfo(np.dtype(rdtype)).eps
     def orth_T(Vd: CP) -> np.ndarray:

@@ -175,6 +175,7 @@ def hutchinson_deflation(
     eig = inverse_iteration_smallest_device(
         mvQ, apply_Qinv, op.n, k, rdtype=rdtype, seed=cfg.seed + seed_offset,
         rounds=rounds, tol=cfg.defl_eigvs_tol_Hutch, buffer=m,
+        warm_filter_degree=int(cfg.defl_warm_filter_degree),
     )
     theta = eig.values                      # signed eigenvalues of Q (host)
     Vr = eig.vectors                        # device (k, n) rows
@@ -194,10 +195,15 @@ def hutchinson_deflation(
     elif correction_mode == "solve":
         # exact: tr(A^{-1} Pi^T U U^H) = sum_i <U_i, A^{-1} Pi^T U_i>.
         # The rhs are the deflation vectors -- the hardest systems in the
-        # run -- so the f32 solves get f64 host-residual refinement
-        # (solve_refined_host; an unrefined f32 correction biased the 128^2
-        # trace by ~+0.5, config.py defl_refine_steps), and the rows pad to
-        # the sampling batch size so every solve reuses that XLA program.
+        # run -- so the f32 solves can take f64 host-residual refinement
+        # (solve_refined_host; OFF by default). Bias provenance: a ~+0.5
+        # shift of the 128^2 trace was observed ONLY with the pre-r3
+        # Givens-estimate FGMRES exits, whose true relative residual was
+        # ~1e-2; with the true-residual termination fix, an honest 5e-4
+        # solve leaves the unrefined correction accurate (refinement moved
+        # the flagship trace by <1e-3 -- config.py defl_refine_steps, which
+        # is why the tuned configs ship with refinement off). The rows pad
+        # to the sampling batch size so every solve reuses that XLA program.
         rhs = Ur
         if cfg.use_permuted and d:
             rhs = shift_rows_down_pair(rhs, d)  # Pi^T @ U

@@ -41,6 +41,7 @@ from deflatedmlmc_schwinger_tpu.trace.deflation import (
 )
 from deflatedmlmc_schwinger_tpu.trace.probes import make_probe_source
 from deflatedmlmc_schwinger_tpu.trace.stats import (
+    ConfirmedStop,
     RunningMoments,
     check_stalled,
     should_stop,
@@ -256,6 +257,7 @@ def hutchinson(
             # into the moments -- the stopping contract (stderr < tol at the
             # reported n) still holds.
             inflight = []
+            stopper = ConfirmedStop(cfg.stop_confirm)
             while start < cfg.max_nr_ests:
                 X = probes(start, B, n, rdtype)
                 e, iters, stall = hutchinson_step_batch(
@@ -273,7 +275,9 @@ def hutchinson(
                     stop, nstall = (int(v) for v in np.asarray(flag))
                     check_stalled(nstall, seen - resume_at,
                                   cfg.max_stalled_frac, "hutchinson sampling")
-                    if stop:
+                    # consecutive fetched flags are one batch apart, so the
+                    # confirmation guard sees exactly the two-pass contract
+                    if stopper(bool(stop), seen):
                         break
             moments = moments.merge(device_moments_to_host(dm))
             function_iters += int(np.asarray(dm.iters))
@@ -282,6 +286,7 @@ def hutchinson(
                           "hutchinson sampling")
             stalled_rows += nstall
         else:
+            stopper = ConfirmedStop(cfg.stop_confirm)
             while start < cfg.max_nr_ests:
                 X = probes(start, B, n, rdtype)
                 if mesh is not None:
@@ -301,7 +306,10 @@ def hutchinson(
                         next_index={"hutchinson": start},
                         iters={"hutchinson": function_iters},
                     ).save(state_ckpt)
-                if should_stop(moments, rough_trace_tol, cfg.min_nr_ests):
+                if stopper(
+                    should_stop(moments, rough_trace_tol, cfg.min_nr_ests),
+                    moments.count,
+                ):
                     break
 
     # ---- results (stoch_trace.py:165-176) ----

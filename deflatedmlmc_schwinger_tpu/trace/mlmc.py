@@ -44,6 +44,7 @@ from deflatedmlmc_schwinger_tpu.trace.deflation import (
 from deflatedmlmc_schwinger_tpu.trace.hutchinson import hutchinson_step_batch
 from deflatedmlmc_schwinger_tpu.trace.probes import make_probe_source
 from deflatedmlmc_schwinger_tpu.trace.stats import (
+    ConfirmedStop,
     RunningMoments,
     check_stalled,
     should_stop,
@@ -104,17 +105,33 @@ def bblock_matrix_host(hier: Hierarchy, level: int) -> np.ndarray:
 
 
 def dense_level_inverse(hier: Hierarchy, level: int) -> np.ndarray:
-    """Host f64 dense inverse of the level operator (complex (n, n)).
+    """Host f64 dense inverse of the level operator (complex128 (n, n)).
 
-    Coarse levels expose their matrix directly; a (small) stencil fine level
-    is materialized by applying the operator to the identity on device."""
+    The inversion ALWAYS runs in complex128: the Galerkin coarse operators
+    are exactly the ill-conditioned matrices the dense-exact feature exists
+    to sidestep (their f32 iterative floor is ~1e-2), and an f32
+    np.linalg.inv would carry ~eps32*kappa forward error into levels that
+    report ests_dev=0 and sit outside the stopping contract -- a silent
+    bias. The stored f32 ENTRIES are an O(eps32*||A||) backward
+    perturbation of the exact operator (benign); the f64 inversion removes
+    the kappa-amplified solve error. A stencil fine level is materialized
+    on the HOST in complex128 (ops/dirac.py stencil_matvec_host) instead of
+    through the device-dtype matvec."""
     op = hier.levels[level].op
     if hasattr(op, "complex_matrix"):
-        M = op.complex_matrix()
+        M = np.asarray(op.complex_matrix()).astype(np.complex128)
+    elif hasattr(op, "coeffs") and hasattr(op, "nx"):
+        from deflatedmlmc_schwinger_tpu.ops.dirac import stencil_matvec_host
+
+        n = hier.levels[level].n
+        C = (np.asarray(op.coeffs.re, np.float64)
+             + 1j * np.asarray(op.coeffs.im, np.float64))
+        # rows of the identity through the host stencil: row j = A e_j
+        M = stencil_matvec_host(C, np.eye(n, dtype=np.complex128), op.nx, op.nt).T
     else:
         n = hier.levels[level].n
         eye = CP(jnp.eye(n, dtype=op.dtype), jnp.zeros((n, n), op.dtype))
-        M = np.asarray(cplx.to_complex(op.matvec(eye))).T  # row j = A e_j
+        M = np.asarray(cplx.to_complex(op.matvec(eye))).astype(np.complex128).T
     return np.linalg.inv(M)
 
 
@@ -318,9 +335,11 @@ def _adaptive_sampling(
     for i in active:
         if moments[i].count == 0:
             run_batch(i)
+    stopper = ConfirmedStop(cfg.stop_confirm)
     while any(starts[i] < cfg.max_nr_ests for i in active):
         done = all(moments[i].count >= cfg.min_nr_ests for i in active)
-        if done and agg_var() < eps_tot * eps_tot:
+        total_n = sum(moments[i].count for i in active)
+        if stopper(done and agg_var() < eps_tot * eps_tot, total_n):
             break
         # greedy: marginal aggregate-variance drop of one more batch at
         # level i is V_i/n_i - V_i/(n_i + B); normalize by the batch cost
@@ -710,6 +729,7 @@ def mlmc(
                     # round-trip; at worst two extra batches fold into the
                     # moments -- still a valid stop, stderr only shrinks
                     inflight = []
+                    stopper = ConfirmedStop(cfg.stop_confirm)
                     while start < cfg.max_nr_ests:
                         # no checkpoint on this path, so `moments` is empty at
                         # entry and dm alone carries the level's statistics
@@ -731,7 +751,7 @@ def mlmc(
                             stop, nstall = (int(v) for v in np.asarray(flag))
                             check_stalled(nstall, seen,
                                           cfg.max_stalled_frac, f"mlmc level {i}")
-                            if stop:
+                            if stopper(bool(stop), seen):
                                 break
                     moments = moments.merge(device_moments_to_host(dm))
                     results[i]["function_iters"] += int(np.asarray(dm.iters))
@@ -742,8 +762,12 @@ def mlmc(
                     if coarse is not None:
                         results[coarse]["function_iters"] += int(np.asarray(it2_acc))
                 else:
+                    stopper = ConfirmedStop(cfg.stop_confirm)
                     while start < cfg.max_nr_ests:
-                        if should_stop(moments, level_trace_tol, cfg.min_nr_ests):
+                        if stopper(
+                            should_stop(moments, level_trace_tol, cfg.min_nr_ests),
+                            moments.count,
+                        ):
                             break
                         X = probes(start, B, n_i, hier.levels[i].op.dtype)
                         if mesh is not None:

@@ -67,6 +67,40 @@ def should_stop(m: RunningMoments, tol_target: float, min_samples: int) -> bool:
     return bool(m.count >= min_samples and m.error_est < tol_target)
 
 
+class ConfirmedStop:
+    """Two-pass stopping guard (config.py stop_confirm).
+
+    Wraps the per-check stop condition: with ``enabled`` the loop stops only
+    when the condition holds on two checks separated by at least one
+    additional batch of samples (the first crossing ARMS the stop; any
+    intervening failure disarms it). This guards against stopping on a
+    transiently UNDERESTIMATED std_dev -- the sample deviation of n draws
+    has O(1/sqrt(n)) relative noise, so a small-n run can cross the
+    threshold on a lucky batch and stop a factor early. What it does NOT
+    change: the Rayleigh tail of the realized |error| at the final stderr.
+    That tail is governed solely by stop_safety (P(|err| > tol) =
+    exp(-(tol/stderr)^2) for a complex-Gaussian estimate), because the
+    accumulated mean barely moves over one confirmation batch -- two checks
+    of the same mean are not independent draws of the final error. See the
+    stop_safety discussion in config.py for the measured contract margins.
+    """
+
+    def __init__(self, enabled: bool):
+        self.enabled = bool(enabled)
+        self._armed_at: Optional[int] = None
+
+    def __call__(self, condition_ok: bool, count: int) -> bool:
+        if not condition_ok:
+            self._armed_at = None
+            return False
+        if not self.enabled:
+            return True
+        if self._armed_at is None:
+            self._armed_at = int(count)
+            return False
+        return int(count) > self._armed_at
+
+
 def check_stalled(nstalled: int, nsamples: int, max_frac: float, where: str) -> None:
     """Raise when the running fraction of stalled (under-solved) probe rows
     exceeds ``max_frac`` -- stalled rows carry solver bias the stopping rule

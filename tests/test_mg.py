@@ -50,6 +50,18 @@ def test_quality_invariants(hier16):
     assert q["hermiticity of g3*A at level 2"] < 1e-12
 
 
+@pytest.mark.parametrize("backend", ["host", "device"])
+def test_check_quality_flag_honored(op16, backend, capsys):
+    """check_quality_MG=True must print the invariant checks on BOTH setup
+    backends (reference: multigrid.py:282-316; the flag was a silent no-op on
+    the default 'host' path before round 5)."""
+    op, _ = op16
+    setup_hierarchy(op, make_cfg(check_quality_MG=True, setup_backend=backend))
+    out = capsys.readouterr().out
+    assert "orthonormality of P at level 0" in out
+    assert "hermiticity of g3*A at level 1" in out
+
+
 def test_galerkin_identity(hier16, op16, dense16):
     P0 = hier16.levels[0].P.to_dense()
     C1 = P0.conj().T @ dense16 @ P0

@@ -4,9 +4,14 @@
 The correction right-hand sides are the deflation vectors -- the most
 ill-conditioned systems of the run. In f32 a solve at relative residual r
 leaves a SOLUTION error up to ~r/sigma_min per vector, which summed over the
-basis biases tr1 (observed on-chip r4: ~+0.5 on the 128^2 flagship, pushing
-both estimators past the 1% contract in the same direction). Refinement with
-exact f64 host residuals collapses that to O(r^2/sigma_min).
+basis can bias tr1. Provenance of the measured bias: the ~+0.5 shift of the
+128^2 flagship trace was observed with the pre-r3 Givens-ESTIMATE FGMRES
+exits, whose true relative residual was only ~1e-2; with true-residual
+termination an honest 5e-4 solve leaves the unrefined correction accurate
+(refinement moved the flagship trace by <1e-3, so the tuned configs ship
+refinement OFF -- config.py defl_refine_steps). Refinement with exact f64
+host residuals collapses the worst case to O(r^2/sigma_min) and remains
+available for tighter contracts or looser solve targets.
 """
 
 import numpy as np

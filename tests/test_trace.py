@@ -10,7 +10,11 @@ import pytest
 from deflatedmlmc_schwinger_tpu.config import TraceConfig
 from deflatedmlmc_schwinger_tpu.mg import MGSolver, setup_hierarchy
 from deflatedmlmc_schwinger_tpu.trace import hutchinson, mlmc
-from deflatedmlmc_schwinger_tpu.trace.stats import RunningMoments, should_stop
+from deflatedmlmc_schwinger_tpu.trace.stats import (
+    ConfirmedStop,
+    RunningMoments,
+    should_stop,
+)
 
 MASS16 = -1.00690114 * 0.99
 EXACT16 = 265.85810646578824  # dense inverse oracle (BASELINE.md)
@@ -64,6 +68,36 @@ def test_running_moments_match_reference_formulas():
     assert should_stop(m, stderr / 2, 6) is False
     assert should_stop(m, stderr * 2, 6) is True
     assert should_stop(m, stderr * 2, 100) is False  # min-sample gate
+
+
+def test_confirmed_stop_guard():
+    """ConfirmedStop (config.py stop_confirm): disabled = passthrough;
+    enabled = stop only on two passing checks separated by more samples,
+    and any intervening failure disarms the pending stop."""
+    s = ConfirmedStop(False)
+    assert s(True, 10) is True           # passthrough when disabled
+    s = ConfirmedStop(True)
+    assert s(False, 10) is False
+    assert s(True, 20) is False          # first crossing arms only
+    assert s(True, 20) is False          # same count: not a new batch yet
+    assert s(True, 28) is True           # confirmed one batch later
+    s = ConfirmedStop(True)
+    assert s(True, 8) is False
+    assert s(False, 16) is False         # failure disarms...
+    assert s(True, 24) is False          # ...so this re-arms
+    assert s(True, 32) is True
+
+
+def test_confirmed_stop_estimator_contract(setup16):
+    """With stop_confirm the estimator still stops and still meets the
+    stderr target (at worst one extra batch of samples)."""
+    op, A, cfg, hier = setup16
+    r = hutchinson(op, cfg.replace(stop_confirm=True), hier=hier, verbose=False)
+    stderr = r["std_dev"] / np.sqrt(r["nr_ests"])
+    target = abs(cfg.trace_tol * r["rough_trace"])
+    assert stderr < target
+    err = abs(r["trace"] - EXACT16)
+    assert err < 5 * max(stderr, 1e-12) + 1e-6, (r["trace"], stderr)
 
 
 def test_hutchinson_16(setup16):
