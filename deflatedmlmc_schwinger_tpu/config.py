@@ -144,12 +144,15 @@ class TraceConfig:
     defl_subspace_rounds: int = 6
     # Chebyshev warm-start for the Hutchinson deflation basis: degree of ONE
     # device filter pass (in lambda^2) applied to the random start block
-    # before the first inverse-iteration round; 0 disables. A filter matvec
-    # costs ~1 ms on-chip for the flagship block while one inverse round
-    # costs seconds of MG solves on near-kernel right-hand sides, so a
-    # degree-600+ warm filter replaces 2-3 solve rounds for ~1 s of VPU
-    # work (measured r5: rounds 5 -> 2 with degree 800 cut defl_setup
-    # 24.8 s -> under 10 s at matching per-probe deviation).
+    # before the first inverse-iteration round; 0 disables. MEASURED
+    # COUNTERPRODUCTIVE at the 128^2 flagship (scratch/_r5_defl_warm.py):
+    # the filtered block hands the first inverse round near-kernel-saturated
+    # right-hand sides, whose MG solves run to the stall cutoff (setup 42 s
+    # at rounds=3+deg=800 vs 8.7 s at rounds=3 random start) and the
+    # resulting basis measured WORSE per-probe deviation (74-87 vs 69).
+    # With an MG-driven inverse iteration available, plain random starts +
+    # one fewer round dominate; the knob remains for operators with no
+    # usable solver (where a filter pass is the only spectral boost).
     defl_warm_filter_degree: int = 0
     # Subspace buffer size m (None -> max(k+2, 1.25k)). Setting it equal to
     # probe_batch makes every deflation-setup solve reuse the SAMPLING
