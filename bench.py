@@ -221,6 +221,51 @@ def main() -> None:
     )
     del op3, result3
 
+    # ---- 2c. G302: generated 512^2, one chip -- the first 512^2 execution
+    # record (SURVEY.md section 5.7 / BASELINE.json config #5; multi-chip
+    # sample sharding is exercised by dryrun_multichip) ----
+    cfg5 = set_params("schwinger512")
+    t0 = time.time()
+    op5, _ = load_operator(cfg5.matrix, cfg5.mass, latt_dims=cfg5.latt_dims,
+                           dtype=np.complex64)
+    phases5 = PhaseTimer()
+    result5 = hutchinson(op5, cfg5, verbose=False, timer=phases5)
+    g302_wall = time.time() - t0
+    tr5 = result5["trace"]
+    stderr5 = result5["std_dev"] / max(np.sqrt(result5["nr_ests"]), 1.0)
+    print(
+        f"# G302 (gen 512^2) end-to-end: {g302_wall:.1f}s  trace={tr5:.1f}  "
+        f"stderr={stderr5:.2f}  n={result5['nr_ests']}  "
+        f"(no external oracle: generated ensemble)",
+        file=sys.stderr,
+    )
+    baseline5 = (result5["nr_ests"] + cfg5.probe_batch) / (BASELINE_SOLVES_PER_SEC / 16)
+    print(
+        json.dumps(
+            dict(
+                metric="wall_time_to_stop_s_gen512_G302",
+                value=round(g302_wall, 1),
+                unit="s",
+                vs_baseline=round(baseline5 / g302_wall, 1),
+                extra=dict(
+                    trace_re=round(tr5.real, 2),
+                    trace_im=round(tr5.imag, 2),
+                    stderr=round(float(stderr5), 3),
+                    rel_stderr=round(float(stderr5 / abs(tr5)), 6),
+                    nr_ests=int(result5["nr_ests"]),
+                    stalled_rows=int(result5["stalled_rows"]),
+                    phase_seconds={
+                        k: round(v, 2) for k, v in phases5.totals.items()
+                    },
+                    vs_baseline_note="extrapolated: the reference has no "
+                    "512^2 config; charged at 1/16 of its measured 128^2 "
+                    "probe rate",
+                ),
+            )
+        )
+    )
+    del op5, result5
+
     # ---- 3. probe-solve throughput at the f32 solve target ----
     B = 128   # measured sweet spot (64: 65 solves/s, 128: 131, 256: 79)
     # attainable complex64 residual is eps*kappa ~ 1e-4 for this operator;
@@ -288,11 +333,14 @@ def main() -> None:
     # stencil matvec + Arnoldi (orthogonalization, Givens, bookkeeping);
     # timing the first two in isolation attributes the solve cost
     # (VERDICT r3 weak #2: publish where the probe-solve time goes)
-    chain_pc = jax.jit(lambda v: lax.fori_loop(0, iters, lambda i, y: pc(y), v))
-    jax.block_until_ready(chain_pc(X).re)
-    t0 = time.time()
-    jax.block_until_ready(chain_pc(X).re)
-    dt_vc = (time.time() - t0) / iters
+    def loop_time(step, x0, k=iters):
+        f = jax.jit(lambda v: lax.fori_loop(0, k, lambda i, y: step(y), v))
+        jax.block_until_ready(f(x0).re)
+        t0 = time.time()
+        jax.block_until_ready(f(x0).re)
+        return (time.time() - t0) / k
+
+    dt_vc = loop_time(pc, X)
     iters_max = int(np.max(np.asarray(res.iters)))
     per_iter = dt / reps / max(iters_max, 1)
     frac_vc = dt_vc / per_iter
@@ -301,6 +349,27 @@ def main() -> None:
         f"# per-iter split (iters_max={iters_max}, {per_iter*1e3:.2f} ms/iter):"
         f" v-cycle {100*frac_vc:.0f}%  fine stencil {100*frac_mv:.0f}%  "
         f"arnoldi+other {100*(1-frac_vc-frac_mv):.0f}%",
+        file=sys.stderr,
+    )
+
+    # ---- 5b. INTRA-v-cycle attribution by truncated-cycle differencing
+    # (r4 verdict item 4: what's inside the v-cycle share). precond(l) is
+    # the V-cycle starting at level l; same fori_loop harness, so the
+    # differences attribute per-level work in context (shared dispatch and
+    # buffer overheads cancel -- standalone per-op timings floor at the
+    # ~0.9 ms tunnel dispatch latency and mis-attribute, scratch r5 takes
+    # 1-2). Measured r5: level-0 59% / level-1 15% / level-2+coarsest 26%.
+    X1 = probes(1, B, hier.levels[1].n, jnp.float32)
+    X2 = probes(2, B, hier.levels[2].n, jnp.float32)
+    dt_vc1 = loop_time(solver.precond(1), X1)
+    dt_vc2 = loop_time(solver.precond(2), X2)
+    lvl0_frac = (dt_vc - dt_vc1) / dt_vc
+    lvl1_frac = (dt_vc1 - dt_vc2) / dt_vc
+    rest_frac = dt_vc2 / dt_vc
+    print(
+        f"# v-cycle internals ({dt_vc*1e3:.2f} ms): level-0 "
+        f"{100*lvl0_frac:.0f}%  level-1 {100*lvl1_frac:.0f}%  "
+        f"level-2+coarsest {100*rest_frac:.0f}%",
         file=sys.stderr,
     )
 
@@ -328,6 +397,10 @@ def main() -> None:
                     split_vcycle_frac=round(frac_vc, 3),
                     split_fine_stencil_frac=round(frac_mv, 3),
                     split_arnoldi_other_frac=round(1 - frac_vc - frac_mv, 3),
+                    vcycle_ms=round(dt_vc * 1e3, 3),
+                    vcycle_level0_frac=round(lvl0_frac, 3),
+                    vcycle_level1_frac=round(lvl1_frac, 3),
+                    vcycle_level2_plus_coarsest_frac=round(rest_frac, 3),
                     g202_wall_s=round(g202_wall, 1),
                 ),
             )

@@ -244,6 +244,17 @@ class TraceConfig:
     probe_batch: int = 8                # probes per device per batch
     dtype: Optional[object] = None      # complex dtype; None -> per-x64 default
     solver: SolverConfig = dataclasses.field(default_factory=SolverConfig)
+    # Separate solver profile for the DEFLATION setup solves (basis inverse
+    # iteration at defl_eigvs_tol_Hutch + the tr1 correction at
+    # function_tol); None -> use `solver`. Why it exists: the sampling
+    # profile is tuned for throughput on DEFLATED probes (r5: smoother
+    # depth 16 lifts sampling 254 -> 390 solves/s), but deflation solves
+    # near-kernel right-hand sides that run into the stall cutoff --
+    # fixed-iteration-count work whose cost scales with per-iteration
+    # price, so the deep smoother DOUBLES defl_setup (measured ~24 s at
+    # si=16 vs 8.7 s at si=4, r4/r5 profiles). A shallow profile here buys
+    # the sampling speedup without paying it back at setup.
+    defl_solver: Optional[SolverConfig] = None
     # coarse operator storage: 'auto' packs intermediate levels as cyclic
     # block stencils when the coupling pattern is small (hierarchy.py),
     # 'dense' forces dense matrices (the coarsest is always dense -- its
@@ -255,6 +266,16 @@ class TraceConfig:
     # 'device' (CheFSI/Galerkin on the accelerator; for lattices whose fine
     # matvec is too large for host numpy)
     setup_backend: str = "host"
+    # Where the FINE-level test-vector eigensolve runs when
+    # setup_backend='host': 'host' (numpy CheFSI), 'device' (the
+    # device-resident CheFSI of solvers/eigs.py -- vectors stay on the
+    # accelerator, one (n, m) download at the end), or 'auto' = device for
+    # lattices with n >= 2^17 and RSVs/LSVs test vectors. Rationale: the
+    # single-threaded host recurrence is the scale-out setup wall (measured
+    # r5: 71 s of G302's mg_setup at n=524288, where the device filter runs
+    # the same matvecs in milliseconds for ~5 one-time program loads);
+    # below the threshold the host path avoids those loads entirely.
+    setup_fine_eigs: str = "auto"
     # eigensolver effort for setup (Chebyshev-filtered subspace iteration);
     # coarse levels warm-start from the restricted fine test vectors and
     # need fewer rounds (None -> max(2, subspace_iters // 2))

@@ -133,7 +133,22 @@ def set_params(example_name: str) -> TraceConfig:
             chebyshev_degree=60,
             subspace_iters=8,
             dtype=jnp.complex64,
-            solver=SolverConfig(restart=40, smoother="poly"),
+            # smoother depth 16 (r5 sweep, scratch/_r5_smoother_sweep.py):
+            # deeper GMRES-poly smoothing trades cheap in-VMEM stencil work
+            # for outer Arnoldi iterations -- si 4 -> 16 cuts iters_max
+            # 108 -> 33 and lifts undeflated probe throughput 254 -> 390
+            # solves/s at tol 5e-4 (restart 40; relres certified, 0 stalls).
+            # The v-cycle attribution behind it: level-0 smoother+residual
+            # is 59% of the cycle and the whole poly recurrence runs fused
+            # in VMEM (ops/pallas_stencil.py), so deepening it is nearly
+            # free HBM-wise while each saved outer iteration removes a
+            # full V-cycle + Arnoldi step.
+            solver=SolverConfig(restart=40, smoother="poly", smooth_iters=16),
+            # deflation setup keeps the shallow r4 profile: its near-kernel
+            # solves are stall-cutoff-bound, so their cost scales with the
+            # per-iteration price -- at si=16 defl_setup measured ~24 s vs
+            # 8.7 s with this profile (config.py defl_solver)
+            defl_solver=SolverConfig(restart=40, smoother="poly"),
             # sampling solves at the bias-bounded f32 target instead of the
             # c64 floor (3e-7): tests/test_bias.py measures the trace bias of
             # 5e-4-tolerance solves at ~1e-3 of |trace| -- an order of

@@ -204,41 +204,46 @@ def residual(op, b: CP, x: CP) -> CP:
 class PolySmoother:
     """GMRES-residual-polynomial smoother (zero inner products).
 
-    ``op``: pass the level's PairStencilOperator to fuse the whole recurrence
-    into one Pallas kernel on TPU (every root application stays in VMEM; the
-    unfused path pays one stencil launch + ~3 HBM elementwise passes per
-    root). The smoother interface (smooth / smooth_residual over an explicit
-    matvec) is shared with GmresSmoother so build_v_cycle is smoother-
-    agnostic, and the lattice-sharded solve can pass its halo matvec."""
+    ``smooth``/``smooth_residual`` take the LEVEL OPERATOR (which may be a
+    traced pytree -- MGSolver passes the hierarchy as a jit argument so no
+    operator tensors are baked into executables): a PairStencilOperator
+    fuses the whole recurrence into one Pallas kernel on TPU (every root
+    application stays in VMEM; the unfused path pays one stencil launch +
+    ~3 HBM elementwise passes per root), any other operator runs the plain
+    matvec recurrence. The interface is shared with GmresSmoother so
+    build_v_cycle is smoother-agnostic; the lattice-sharded solve smooths
+    its level 0 with the raw ``poly_smoother`` over the halo matvec and
+    uses these objects only on replicated coarse levels."""
 
     def __init__(self, roots, op=None):
+        # ``op`` retained for API compatibility; only its TYPE gates the
+        # fused path now (no arrays are stored on the smoother)
         self.roots = tuple(complex(t) for t in roots)
-        self._op = op if (op is not None and _use_fused_stencil(op)) else None
 
-    def smooth(self, matvec: Callable, r: CP) -> CP:
-        if self._op is not None:
+    def smooth(self, op, r: CP) -> CP:
+        if _use_fused_stencil(op):
             from deflatedmlmc_schwinger_tpu.ops.pallas_stencil import (
                 stencil_poly_smooth_pallas,
             )
 
             x, _ = stencil_poly_smooth_pallas(
-                self._op.coeffs, r, self.roots, self._op.nx, self._op.nt,
+                op.coeffs, r, self.roots, op.nx, op.nt,
                 with_residual=False, interpret=_interp(),
             )
             return x
-        return poly_smoother(matvec, r, self.roots)
+        return poly_smoother(op.matvec, r, self.roots)
 
-    def smooth_residual(self, matvec: Callable, b: CP):
-        if self._op is not None:
+    def smooth_residual(self, op, b: CP):
+        if _use_fused_stencil(op):
             from deflatedmlmc_schwinger_tpu.ops.pallas_stencil import (
                 stencil_poly_smooth_pallas,
             )
 
             return stencil_poly_smooth_pallas(
-                self._op.coeffs, b, self.roots, self._op.nx, self._op.nt,
+                op.coeffs, b, self.roots, op.nx, op.nt,
                 with_residual=True, interpret=_interp(),
             )
-        return poly_smoother(matvec, b, self.roots, with_residual=True)
+        return poly_smoother(op.matvec, b, self.roots, with_residual=True)
 
 
 class GmresSmoother:
@@ -248,12 +253,12 @@ class GmresSmoother:
         self.iters = int(iters)
         self.axis_name = axis_name
 
-    def smooth(self, matvec: Callable, r: CP) -> CP:
-        return gmres_smoother(matvec, r, self.iters, self.axis_name)
+    def smooth(self, op, r: CP) -> CP:
+        return gmres_smoother(op.matvec, r, self.iters, self.axis_name)
 
-    def smooth_residual(self, matvec: Callable, b: CP):
-        x = self.smooth(matvec, b)
-        return x, b - matvec(x)
+    def smooth_residual(self, op, b: CP):
+        x = self.smooth(op, b)
+        return x, b - op.matvec(x)
 
 
 def build_v_cycle(levels, coarsest_inv: CP, smoothers,
@@ -277,7 +282,7 @@ def build_v_cycle(levels, coarsest_inv: CP, smoothers,
         bs = [b]
         xs = []
         for lev, sm in zip(levels[:-1], smoothers):
-            x, r = sm.smooth_residual(lev.op.matvec, bs[-1])
+            x, r = sm.smooth_residual(lev.op, bs[-1])
             xs.append(x)
             bs.append(lev.P.apply_adjoint(r))
         xc = cplx.matmul_right(bs[-1], coarsest_inv)
@@ -289,10 +294,10 @@ def build_v_cycle(levels, coarsest_inv: CP, smoothers,
             x = x + lev.P.apply(xc)
             r = residual(lev.op, bf, x)
             if with_residual and idx == n_up - 1:
-                dx, out_res = sm.smooth_residual(lev.op.matvec, r)
+                dx, out_res = sm.smooth_residual(lev.op, r)
                 x = x + dx
             else:
-                x = x + sm.smooth(lev.op.matvec, r)
+                x = x + sm.smooth(lev.op, r)
             xc = x
         if with_residual:
             return xc, out_res
@@ -341,6 +346,33 @@ class MGSolver:
             op = self.hier.levels[level].op
             self._matvecs[level] = op.matvec
         return self._matvecs[level]
+
+    # ctx-style twins: the hierarchy arrives as the fgmres ``ctx`` argument
+    # (solvers/fgmres.py), so level tensors are jit ARGUMENTS -- executables
+    # stay small (no baked hierarchy constants), load fast over the tunnel,
+    # and are reused across hierarchies of identical shape. The plain
+    # closures above remain for external composition (bench loops, eigs).
+    def _matvec_ctx(self, level: int) -> Callable:
+        key = ("mvctx", level)
+        if key not in self._matvecs:
+            def mv(hier, v):
+                return hier.levels[level].op.matvec(v)
+
+            self._matvecs[key] = mv
+        return self._matvecs[key]
+
+    def _precond_ctx(self, level: int) -> Callable:
+        key = ("pcctx", level)
+        if key not in self._preconds:
+            smoothers = self._smoothers(level)
+
+            def pc(hier, b):
+                return build_v_cycle(
+                    hier.levels[level:], hier.coarsest_inv, smoothers
+                )(b)
+
+            self._preconds[key] = pc
+        return self._preconds[key]
 
     def _smoothers(self, level: int):
         levels = self.hier.levels[level:]
@@ -406,14 +438,15 @@ class MGSolver:
             b = b.astype(self.hier.levels[level].op.dtype)
         tol_eff = self.cfg.effective_tol(tol, cplx.complex_dtype(b.re.dtype))
         res = fgmres(
-            self.matvec(level),
+            self._matvec_ctx(level),
             b,
             tol=tol_eff,
             restart=self.cfg.restart,
             max_restarts=max_restarts if max_restarts is not None else self.cfg.max_restarts,
-            precond=self.precond(level) if precondition else None,
+            precond=self._precond_ctx(level) if precondition else None,
             stall_ratio=self.cfg.stall_ratio,
             stall_cycles=self.cfg.stall_cycles,
+            ctx=self.hier,
         )
         # kept as lazy device scalars -- a per-call int() would force a
         # device sync on the hot path; reporting converts at read time.

@@ -176,6 +176,45 @@ def _test_vectors_host(
     raise ValueError(f"unknown test_vectors_type {mode!r}")
 
 
+def _mvQ_ctx(op, v):
+    """Q = gamma3 A as a ctx-style pair matvec (module-level so jit caches
+    key on a stable callable)."""
+    from deflatedmlmc_schwinger_tpu.ops.dirac import gamma3_pair
+
+    return gamma3_pair(op.matvec(v))
+
+
+def _test_vectors_device(pair0, k: int, cfg: TraceConfig, seed: int,
+                         tol: float, rounds: int) -> np.ndarray:
+    """Fine-level test vectors via the DEVICE-resident CheFSI
+    (solvers/eigs.py): same algorithm as chefsi_host, but the (n, m)
+    subspace and the Chebyshev recurrence live on the accelerator -- only
+    m x m projections cross the link per round plus one final (n, k)
+    download. Used for large lattices where the single-threaded numpy
+    recurrence dominates setup (config.py setup_fine_eigs)."""
+    import jax
+
+    from deflatedmlmc_schwinger_tpu.ops.dirac import gamma3_pair
+    from deflatedmlmc_schwinger_tpu.solvers.eigs import (
+        chebyshev_filtered_smallest,
+    )
+
+    mode = cfg.test_vectors_type
+    if mode not in ("RSVs", "LSVs"):
+        raise ValueError(f"device fine eigensolve supports RSVs/LSVs, got {mode!r}")
+    # ctx form: the operator rides as a jit argument, so the filter /
+    # projection executables carry no baked stencil constants (fast loads,
+    # reusable across gauge configurations of the same lattice shape)
+    eig = chebyshev_filtered_smallest(
+        _mvQ_ctx, pair0.n, k, rdtype=pair0.dtype, seed=seed,
+        degree=cfg.chebyshev_degree, rounds=rounds, tol=tol, ctx=pair0,
+    )
+    V = np.asarray(eig.vectors, dtype=np.complex128)
+    if mode == "LSVs":
+        V = _gamma3_rows(V)
+    return V
+
+
 def _bsr_from_blocks(blocks: np.ndarray) -> sp.bsr_matrix:
     """Block-diagonal prolongator CSR from (na, L, dc) aggregate blocks."""
     na, L, dc = blocks.shape
@@ -284,15 +323,32 @@ def setup_hierarchy_host(op0, cfg: TraceConfig) -> Hierarchy:
     dev_op = pair0
     coarsest_dense = None
 
+    fine_dev = cfg.setup_fine_eigs == "device" or (
+        cfg.setup_fine_eigs == "auto"
+        and pair0.n >= 2 ** 17
+        and cfg.test_vectors_type in ("RSVs", "LSVs")
+    )
+    if cfg.setup_fine_eigs not in ("auto", "host", "device"):
+        raise ValueError(
+            f"setup_fine_eigs must be 'auto'|'host'|'device', got "
+            f"{cfg.setup_fine_eigs!r}"
+        )
+
     for i in range(max_levels - 1):
         L = aggrs[i] * dof[i]
         phase_period = dof[i] if i == 0 else dof[i] // 2
         k = dof[i + 1] // 2
-        tv = _test_vectors_host(
-            A, k, cfg, cfg.seed + 977 * i, eig_tol,
-            rounds=cfg.subspace_iters if tv_warm is None else rounds_coarse,
-            V0=tv_warm,
-        )
+        if i == 0 and fine_dev:
+            tv = _test_vectors_device(
+                pair0, k, cfg, cfg.seed + 977 * i, eig_tol,
+                rounds=cfg.subspace_iters,
+            )
+        else:
+            tv = _test_vectors_host(
+                A, k, cfg, cfg.seed + 977 * i, eig_tol,
+                rounds=cfg.subspace_iters if tv_warm is None else rounds_coarse,
+                V0=tv_warm,
+            )
         blocks = p_blocks_host(tv, L, phase_period)
         P = BlockProlongator(
             blocks=CP(

@@ -148,9 +148,18 @@ class ShardedMGSolver:
             )
             self._coarse_sms = [PolySmoother(th) for th in roots[1:]]
         else:
-            g0 = GmresSmoother(smooth_iters, axis_name=x_axis)
-            self._sm0 = g0.smooth
-            self._sm0_res = g0.smooth_residual
+            # level-0 smooths over the HALO matvec function (not an op
+            # object -- the smoother-object interface takes ops since the
+            # ctx refactor, so bind the raw kernels here)
+            def _g0(mv, r):
+                return gmres_smoother(mv, r, smooth_iters, x_axis)
+
+            def _g0_res(mv, b):
+                x = _g0(mv, b)
+                return x, b - mv(x)
+
+            self._sm0 = _g0
+            self._sm0_res = _g0_res
             self._coarse_sms = [GmresSmoother(smooth_iters)] * (
                 len(hier.levels) - 2
             )

@@ -67,25 +67,29 @@ def _orth(V: np.ndarray) -> np.ndarray:
 
 
 def power_bound(matvec_pair: Callable, n: int, rdtype, seed: int = 17,
-                iters: int = 25) -> float:
+                iters: int = 25, ctx=None) -> float:
     """Upper estimate of the largest |eigenvalue| of a Hermitian pair
     operator. One jitted fori_loop launch: the eager python-loop form this
-    replaces cost ~6 s/level in tunnel round-trips on the 128^2 setup."""
+    replaces cost ~6 s/level in tunnel round-trips on the 128^2 setup.
+
+    ``ctx``: optional operator pytree passed as a jit ARGUMENT; the matvec
+    is then called as matvec_pair(ctx, v), keeping operator tensors out of
+    the compiled executable (see solvers/fgmres.py ctx)."""
     rng = np.random.default_rng(seed)
     v = rng.standard_normal(n).astype(np.dtype(rdtype))
 
     @jax.jit
-    def run(p: CP):
+    def run(ctx, p: CP):
         def body(_, carry):
             p, _ = carry
-            w = matvec_pair(p)
+            w = matvec_pair(ctx, p) if ctx is not None else matvec_pair(p)
             nw = jnp.sqrt(cplx.norm2(w))
             return (cplx.scale_real(w, 1.0 / jnp.maximum(nw, 1e-30)), nw)
 
         _, lam = lax.fori_loop(0, iters, body, (p, jnp.zeros((), rdtype)))
         return lam
 
-    lam = float(run(CP(jnp.asarray(v), jnp.zeros(n, rdtype))))
+    lam = float(run(ctx, CP(jnp.asarray(v), jnp.zeros(n, rdtype))))
     return lam * 1.05
 
 
@@ -141,15 +145,19 @@ def rayleigh_ritz_hermitian(matvec_pair: Callable, V: np.ndarray, k: int,
 
 def _filter_factory(matvec_pair: Callable):
     """Jitted Chebyshev filter in t = lambda^2 mapped to [a, b] (pair ops,
-    loop-safe); cached per operator closure."""
+    loop-safe); cached per operator closure. ``ctx`` (optional): operator
+    pytree as a jit argument, matvec then called matvec_pair(ctx, X)."""
 
     @functools.partial(jax.jit, static_argnames=("deg",))
-    def filter_rounds(Vp: CP, a, b, deg: int):
+    def filter_rounds(Vp: CP, a, b, deg: int, ctx=None):
         c0 = (a + b) / (b - a)
         c1 = 2.0 / (b - a)
 
+        def mv(X: CP) -> CP:
+            return matvec_pair(ctx, X) if ctx is not None else matvec_pair(X)
+
         def y(X: CP) -> CP:
-            h2 = matvec_pair(matvec_pair(X))
+            h2 = mv(mv(X))
             return CP(c1 * h2.re - c0 * X.re, c1 * h2.im - c0 * X.im)
 
         T0 = Vp
@@ -185,10 +193,10 @@ def _ritz_kernels_factory(matvec_pair: Callable):
         return cplx.einsum2_conj_a("in,jn->ij", V, V)
 
     @jax.jit
-    def project(V: CP, T: CP):
+    def project(V: CP, T: CP, ctx=None):
         # column-space basis change W_cols = V_cols @ T, rows: W = T^T V
         W = cplx.einsum2("ji,jn->in", T, V)
-        U = matvec_pair(W)
+        U = matvec_pair(ctx, W) if ctx is not None else matvec_pair(W)
         A = cplx.einsum2_conj_a("in,jn->ij", U, W)   # U^H W
         B = cplx.einsum2_conj_a("in,jn->ij", U, U)   # U^H U
         return W, U, A, B
@@ -247,6 +255,7 @@ def chebyshev_filtered_smallest(
     cut_init_frac: float = 1.0e-2,
     tol: float = 0.0,
     V0: Optional[np.ndarray] = None,
+    ctx=None,
 ) -> EigResult:
     """Smallest-|lambda| eigenpairs of a Hermitian pair operator via CheFSI
     on H^2 + harmonic Ritz.
@@ -255,11 +264,17 @@ def chebyshev_filtered_smallest(
     fused launches (filter, projection Grams, recombination) with only m x m
     matrices on the host link. ``V0`` (host (n, m0) complex) warm-starts the
     subspace -- MG setup seeds level l+1 with the restricted level-l test
-    vectors, which cuts the rounds needed on coarse levels."""
+    vectors, which cuts the rounds needed on coarse levels.
+
+    ``ctx``: optional operator pytree; the matvec is then called as
+    matvec_pair(ctx, v) and the operator tensors enter the compiled filter
+    and projection programs as ARGUMENTS, not baked constants -- the
+    executables stay small (the constant-laden 512^2 filter program
+    serialized to ~48 MB and cost ~10 s of load per process launch)."""
     m = buffer if buffer is not None else max(k + 2, int(round(1.5 * k)))
     m = min(m, n)
     if lam_max is None:
-        lam_max = power_bound(matvec_pair, n, rdtype, seed=seed + 17)
+        lam_max = power_bound(matvec_pair, n, rdtype, seed=seed + 17, ctx=ctx)
     rng = np.random.default_rng(seed)
     V = rng.standard_normal((n, m)) + 1j * rng.standard_normal((n, m))
     if V0 is not None:
@@ -276,13 +291,14 @@ def chebyshev_filtered_smallest(
     theta = res = None
     for r in range(rounds):
         a = max(cut * cut, b * 1.0e-12)
-        Vd = filt(Vd, jnp.asarray(a, rdtype), jnp.asarray(b, rdtype), int(degree))
+        Vd = filt(Vd, jnp.asarray(a, rdtype), jnp.asarray(b, rdtype),
+                  int(degree), ctx)
         G = cplx.to_complex(gram(Vd))                # m x m down
         Gs = 0.5 * (G + G.conj().T)
         scale = float(np.real(np.trace(Gs))) / m
         L = np.linalg.cholesky(Gs + (eps * scale) * np.eye(m))
         T = sla.solve_triangular(L.conj().T, np.eye(m), lower=False)  # L^{-H}
-        W, U, Ad, Bd = project(Vd, _to_pair_rows(T, rdtype))
+        W, U, Ad, Bd = project(Vd, _to_pair_rows(T, rdtype), ctx)
         Y = _harmonic_small_solve(cplx.to_complex(Ad), cplx.to_complex(Bd), eps)
         Vd, HXd, theta_d, res_d = recombine(W, U, _to_pair_rows(Y, rdtype))
         theta = np.asarray(theta_d, dtype=np.float64)

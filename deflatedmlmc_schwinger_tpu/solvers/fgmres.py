@@ -110,7 +110,21 @@ def _cp_set(arr: CP, idx, val: CP) -> CP:
 )
 def _fgmres_impl(matvec, precond, b: CP, x0: CP, tol_abs, restart,
                  max_restarts, stall_ratio, stall_cycles, axis_name=None,
-                 pred_axis_names=(), matvec_precond=None):
+                 pred_axis_names=(), matvec_precond=None, ctx=None):
+    # ``ctx``: optional pytree threaded to matvec/precond as their first
+    # argument. This is how the MG hierarchy enters the program as jit
+    # ARGUMENTS instead of closure-captured constants: with constants, the
+    # serialized executable embeds every level operator (measured 149 MB
+    # for the 512^2 hierarchy), and each process launch pays tens of
+    # seconds re-loading it over the tunneled device link -- and ANY change
+    # to the hierarchy values recompiles. With ctx, the program is small
+    # and reusable across hierarchies of the same shape.
+    if ctx is not None:
+        _mv, _pc, _mvp = matvec, precond, matvec_precond
+        matvec = lambda v: _mv(ctx, v)
+        precond = lambda v: _pc(ctx, v)
+        matvec_precond = (None if _mvp is None
+                          else (lambda v: _mvp(ctx, v)))
     B, n = b.re.shape
     m = restart
     rdtype = b.re.dtype
@@ -278,6 +292,7 @@ def fgmres(
     stall_cycles: int = 2,
     axis_name: Optional[str] = None,
     pred_axis_names: tuple = (),
+    ctx=None,
 ) -> FGMRESResult:
     """Solve A x = b for a batch of pair right-hand sides b (B, n).
 
@@ -308,13 +323,14 @@ def fgmres(
     elif single:
         x0 = CP(x0.re[None, :], x0.im[None, :])
     if precond is None:
-        precond = lambda v: v
+        precond = _identity_pc_ctx if ctx is not None else _identity_pc
     bnorm = pnorm(b, axis_name)
     tol_abs = jnp.asarray(tol, bnorm.dtype) * bnorm
     x, res, iters, cycles = _fgmres_impl(
         matvec, precond, b, x0, tol_abs, int(restart), int(max_restarts),
         None if stall_ratio is None else float(stall_ratio), int(stall_cycles),
         axis_name, tuple(pred_axis_names), matvec_precond=matvec_precond,
+        ctx=ctx,
     )
     stalled = res > tol_abs
     if single:
@@ -322,6 +338,14 @@ def fgmres(
         stalled = stalled[0]
     return FGMRESResult(x=x, resnorm=res, bnorm=bnorm, iters=iters,
                         cycles=cycles, stalled=stalled)
+
+
+def _identity_pc(v):
+    return v
+
+
+def _identity_pc_ctx(ctx, v):
+    return v
 
 
 def wrap_complex_matvec(mv: Callable) -> Callable[[CP], CP]:

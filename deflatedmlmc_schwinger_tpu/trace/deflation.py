@@ -161,6 +161,11 @@ def hutchinson_deflation(
          else max(k + 2, int(round(1.25 * k))))
     m = max(m, k)
     basis_solver = solver
+    if cfg.defl_solver is not None:
+        # setup-specific solver profile (config.py defl_solver): deflation
+        # solves are stall-cutoff-bound near-kernel systems whose cost
+        # scales with the per-iteration price, not the iteration count
+        basis_solver = MGSolver(solver.hier, cfg.defl_solver)
     if fine_solver is not None:
         nsh = fine_solver.mesh.shape[fine_solver.sample_axis]
         if k % nsh == 0:

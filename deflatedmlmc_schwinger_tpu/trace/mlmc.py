@@ -571,8 +571,14 @@ def mlmc(
                 if cfg.use_permuted:
                     x1 = shift_rows_down_pair(x1, hier.levels[0].perm_shift)
                     x1 = bblock_apply(hier, 0, x1)   # B_0 = I (kept for form)
+                # correction solves use the setup solver profile when one is
+                # configured (config.py defl_solver: these are near-kernel,
+                # stall-cutoff-bound systems)
+                corr_solver = solver
+                if cfg.defl_solver is not None and fine_solver is None:
+                    corr_solver = MGSolver(hier, cfg.defl_solver)
                 Z, stalled = solve_refined_host(
-                    fine_solver or solver, op, x1, cfg.function_tol,
+                    fine_solver or corr_solver, op, x1, cfg.function_tol,
                     int(cfg.defl_refine_steps), int(cfg.probe_batch),
                 )
                 check_stalled(

@@ -50,6 +50,24 @@ def test_quality_invariants(hier16):
     assert q["hermiticity of g3*A at level 2"] < 1e-12
 
 
+def test_setup_fine_eigs_device(op16):
+    """setup_fine_eigs='device' (the large-lattice fast path: fine-level
+    test vectors from the device-resident CheFSI) must produce a hierarchy
+    with the same structural invariants as the host path."""
+    op, _ = op16
+    hier = setup_hierarchy(op, make_cfg(setup_fine_eigs="device"))
+    assert hier.sizes() == (512, 256, 64)
+    q = check_quality(hier)
+    assert q["orthonormality of P at level 0"] < 1e-6
+    assert q["hermiticity of g3*A at level 1"] < 1e-10
+    # and it solves: V-cycle-preconditioned FGMRES converges on random rhs
+    s = MGSolver(hier)
+    rng = np.random.default_rng(5)
+    b = rng.standard_normal((2, 512)) + 1j * rng.standard_normal((2, 512))
+    r = s.solve(b, 1e-8)
+    assert float(np.max(np.asarray(r.resnorm / r.bnorm))) < 1e-7
+
+
 @pytest.mark.parametrize("backend", ["host", "device"])
 def test_check_quality_flag_honored(op16, backend, capsys):
     """check_quality_MG=True must print the invariant checks on BOTH setup
