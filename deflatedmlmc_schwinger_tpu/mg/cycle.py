@@ -325,11 +325,16 @@ class MGSolver:
 
     def _roots_for(self, level_index: int):
         if level_index not in self._poly_roots:
-            pre = self.hier.poly_roots
-            if (pre is not None and level_index < len(pre)
-                    and len(pre[level_index]) == self.cfg.smooth_iters):
-                # precomputed at host setup -- zero device matvecs
-                self._poly_roots[level_index] = np.asarray(pre[level_index])
+            # precomputed at host setup -- zero device matvecs; both the
+            # primary and the defl-solver depth are stored (poly_roots /
+            # poly_roots_extra), so the lazy device-Arnoldi fallback below
+            # only fires for hierarchies built without host setup
+            for pre in (self.hier.poly_roots,
+                        getattr(self.hier, "poly_roots_extra", None)):
+                if (pre is not None and level_index < len(pre)
+                        and len(pre[level_index]) == self.cfg.smooth_iters):
+                    self._poly_roots[level_index] = np.asarray(pre[level_index])
+                    break
             else:
                 import jax
 

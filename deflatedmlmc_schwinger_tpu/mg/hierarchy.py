@@ -300,6 +300,14 @@ class Hierarchy:
     poly_roots: Optional[Tuple[Tuple[complex, ...], ...]] = struct.field(
         pytree_node=False, default=None
     )
+    # Same, for a SECOND smoother depth (config.py defl_solver: the
+    # deflation-setup solver may smooth at a different depth than the
+    # sampling solver; without precomputed roots its MGSolver would fall
+    # back to gmres_poly_roots' host-side Arnoldi -- ~12 sequential device
+    # round-trips that cost ~10 s over the tunneled link, measured r5).
+    poly_roots_extra: Optional[Tuple[Tuple[complex, ...], ...]] = struct.field(
+        pytree_node=False, default=None
+    )
 
     @property
     def nr_levels(self) -> int:

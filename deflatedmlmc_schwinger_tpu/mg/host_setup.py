@@ -176,14 +176,6 @@ def _test_vectors_host(
     raise ValueError(f"unknown test_vectors_type {mode!r}")
 
 
-def _mvQ_ctx(op, v):
-    """Q = gamma3 A as a ctx-style pair matvec (module-level so jit caches
-    key on a stable callable)."""
-    from deflatedmlmc_schwinger_tpu.ops.dirac import gamma3_pair
-
-    return gamma3_pair(op.matvec(v))
-
-
 def _test_vectors_device(pair0, k: int, cfg: TraceConfig, seed: int,
                          tol: float, rounds: int) -> np.ndarray:
     """Fine-level test vectors via the DEVICE-resident CheFSI
@@ -192,9 +184,7 @@ def _test_vectors_device(pair0, k: int, cfg: TraceConfig, seed: int,
     m x m projections cross the link per round plus one final (n, k)
     download. Used for large lattices where the single-threaded numpy
     recurrence dominates setup (config.py setup_fine_eigs)."""
-    import jax
-
-    from deflatedmlmc_schwinger_tpu.ops.dirac import gamma3_pair
+    from deflatedmlmc_schwinger_tpu.ops.dirac import gamma3_matvec_ctx
     from deflatedmlmc_schwinger_tpu.solvers.eigs import (
         chebyshev_filtered_smallest,
     )
@@ -206,7 +196,7 @@ def _test_vectors_device(pair0, k: int, cfg: TraceConfig, seed: int,
     # projection executables carry no baked stencil constants (fast loads,
     # reusable across gauge configurations of the same lattice shape)
     eig = chebyshev_filtered_smallest(
-        _mvQ_ctx, pair0.n, k, rdtype=pair0.dtype, seed=seed,
+        gamma3_matvec_ctx, pair0.n, k, rdtype=pair0.dtype, seed=seed,
         degree=cfg.chebyshev_degree, rounds=rounds, tol=tol, ctx=pair0,
     )
     V = np.asarray(eig.vectors, dtype=np.complex128)
@@ -318,6 +308,14 @@ def setup_hierarchy_host(op0, cfg: TraceConfig) -> Hierarchy:
     A = csr_from_stencil(coeffs)
     levels: List[MGLevel] = []
     roots: List[Tuple[complex, ...]] = []
+    roots_extra: List[Tuple[complex, ...]] = []
+    # second smoother depth for the deflation-setup solver (see
+    # Hierarchy.poly_roots_extra)
+    extra_depth = (cfg.defl_solver.smooth_iters
+                   if (cfg.defl_solver is not None
+                       and cfg.defl_solver.smooth_iters
+                       != cfg.solver.smooth_iters)
+                   else None)
     perm_shift = 2 * cfg.nt * cfg.x_displacement if cfg.use_permuted else 0
     tv_warm: Optional[np.ndarray] = None
     dev_op = pair0
@@ -357,6 +355,8 @@ def setup_hierarchy_host(op0, cfg: TraceConfig) -> Hierarchy:
             )
         )
         roots.append(_poly_roots_host(A, cfg.solver.smooth_iters))
+        if extra_depth is not None:
+            roots_extra.append(_poly_roots_host(A, extra_depth))
         levels.append(MGLevel(op=dev_op, P=P, perm_shift=perm_shift))
         Pcsr = _bsr_from_blocks(blocks)
         tv_warm = np.asarray((Pcsr.conj().T @ tv))
@@ -387,4 +387,5 @@ def setup_hierarchy_host(op0, cfg: TraceConfig) -> Hierarchy:
         levels=tuple(levels),
         coarsest_inv=coarsest_inv,
         poly_roots=tuple(roots),
+        poly_roots_extra=tuple(roots_extra) if roots_extra else None,
     )

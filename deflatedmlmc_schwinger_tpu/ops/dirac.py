@@ -85,6 +85,13 @@ def stencil_matvec(coeffs: jnp.ndarray, v: jnp.ndarray, nx: int, nt: int) -> jnp
     return out.reshape(v.shape)
 
 
+def gamma3_matvec_ctx(op, v):
+    """Q = gamma3 A as a ctx-style pair matvec: module-level so the jitted
+    eigensolver kernels (solvers/eigs.py lru-cached factories) key on ONE
+    stable callable and the operator rides as a jit argument."""
+    return gamma3_pair(op.matvec(v))
+
+
 def stencil_matvec_host(coeffs, v, nx: int, nt: int):
     """Host (numpy, caller-chosen precision) twin of ``stencil_matvec``.
 

@@ -143,10 +143,16 @@ def rayleigh_ritz_hermitian(matvec_pair: Callable, V: np.ndarray, k: int,
     return EigResult(values=theta, vectors=X, resnorms=np.linalg.norm(R, axis=0))
 
 
+@functools.lru_cache(maxsize=64)
 def _filter_factory(matvec_pair: Callable):
     """Jitted Chebyshev filter in t = lambda^2 mapped to [a, b] (pair ops,
     loop-safe); cached per operator closure. ``ctx`` (optional): operator
-    pytree as a jit argument, matvec then called matvec_pair(ctx, X)."""
+    pytree as a jit argument, matvec then called matvec_pair(ctx, X).
+
+    lru_cache: callers that pass a STABLE module-level matvec (ctx style)
+    reuse the traced kernels across invocations -- re-tracing the Ritz
+    machinery cost seconds of 2-core host time per deflation call
+    (measured r5 inside defl_setup)."""
 
     @functools.partial(jax.jit, static_argnames=("deg",))
     def filter_rounds(Vp: CP, a, b, deg: int, ctx=None):
@@ -181,6 +187,7 @@ def _filter_factory(matvec_pair: Callable):
     return filter_rounds
 
 
+@functools.lru_cache(maxsize=64)
 def _ritz_kernels_factory(matvec_pair: Callable):
     """Device kernels for harmonic Ritz with vectors RESIDENT on device as
     (m, n) row pairs. Only m x m matrices ever cross the host link -- the
@@ -348,6 +355,56 @@ def inverse_iteration_smallest(
     return EigResult(result.values[:k], result.vectors[:, :k], result.resnorms[:k])
 
 
+@functools.lru_cache(maxsize=64)
+def _device_round_factory(matvec_pair: Callable):
+    """One whole harmonic-Ritz round as a single jitted program
+    (gram -> whitening chol -> projection -> harmonic pencil solve ->
+    recombination): the m x m cholesky/eigh/triangular solves lower fine on
+    the axon TPU for COMPLEX inputs (only complex contractions do not; the
+    big contractions stay pair-form einsums). Cuts the ~6 small host
+    round-trips per round that dominated deflation setup over the tunneled
+    link (measured r4: ~0.3-0.5 s of latency each); the only per-round
+    fetch is the stacked (theta, res) diagnostics pair. Factory-cached per
+    matvec so repeated deflation calls (MLMC + rough + Hutchinson in one
+    process) reuse the traced program instead of re-tracing it (seconds of
+    2-core host time each, measured r5)."""
+    gram, project, recombine = _ritz_kernels_factory(matvec_pair)
+    from jax.scipy.linalg import solve_triangular as jsolve_tri
+
+    @jax.jit
+    def device_round(Vd: CP, ctx=None):
+        m = Vd.re.shape[0]
+        rdtype = Vd.re.dtype
+        eps = 1e3 * jnp.finfo(rdtype).eps
+        eyec = jnp.eye(m, dtype=cplx.complex_dtype(rdtype))
+        G = gram(Vd)
+        Gc = G.re + 1j * G.im
+        Gs = 0.5 * (Gc + Gc.conj().T)
+        scale = jnp.real(jnp.trace(Gs)) / m
+        L = jnp.linalg.cholesky(Gs + (eps * scale) * eyec)
+        T = jsolve_tri(L.conj().T, eyec, lower=False)
+        W, U, Ad, Bd = project(Vd, CP(jnp.real(T), jnp.imag(T)), ctx)
+        A = Ad.re + 1j * Ad.im
+        B = Bd.re + 1j * Bd.im
+        A = 0.5 * (A + A.conj().T)
+        B = 0.5 * (B + B.conj().T)
+        scb = jnp.real(jnp.trace(B)) / m
+        Lb = jnp.linalg.cholesky(B + (eps * scb) * eyec)
+        M = jsolve_tri(Lb, A, lower=True)
+        M = jsolve_tri(Lb, M.conj().T, lower=True).conj().T
+        M = 0.5 * (M + M.conj().T)
+        mu, Z = jnp.linalg.eigh(M)
+        Y = jsolve_tri(Lb.conj().T, Z, lower=False)
+        order = jnp.argsort(
+            jnp.where(jnp.abs(mu) > 0, 1.0 / jnp.abs(mu), jnp.inf)
+        )
+        Y = Y[:, order]
+        Vd2, _, theta, res = recombine(W, U, CP(jnp.real(Y), jnp.imag(Y)))
+        return Vd2, jnp.stack([theta, res])
+
+    return device_round
+
+
 class DeviceEigResult(NamedTuple):
     values: np.ndarray    # (k,) real (host)
     vectors: CP           # (k, n) ROW pairs, device-resident
@@ -367,6 +424,7 @@ def inverse_iteration_smallest_device(
     tol: float = 0.0,
     V0: Optional[np.ndarray] = None,
     warm_filter_degree: int = 0,
+    ctx=None,
 ) -> DeviceEigResult:
     """Device-resident twin of ``inverse_iteration_smallest``: the subspace
     stays on the device as (m, n) row pairs across rounds; per round only the
@@ -401,7 +459,7 @@ def inverse_iteration_smallest_device(
             jax.random.normal(kim, (m, n), dtype=jnp.dtype(rdtype)),
         )
     if warm_filter_degree and V0 is None:
-        lam = power_bound(matvec_pair, n, rdtype, seed=seed + 17)
+        lam = power_bound(matvec_pair, n, rdtype, seed=seed + 17, ctx=ctx)
         b = lam * lam
         # cut at ~1% of lam_max: the near-critical modes this deflation
         # exists for sit 2+ orders below the bulk edge, and the filter only
@@ -409,7 +467,7 @@ def inverse_iteration_smallest_device(
         a = max((1.0e-2 * lam) ** 2, b * 1.0e-12)
         filt = _filter_factory(matvec_pair)
         Vd = filt(Vd, jnp.asarray(a, rdtype), jnp.asarray(b, rdtype),
-                  int(warm_filter_degree))
+                  int(warm_filter_degree), ctx)
     gram, project, recombine = _ritz_kernels_factory(matvec_pair)
     eps = 1e3 * np.finfo(np.dtype(rdtype)).eps
     def orth_T(Vd: CP) -> np.ndarray:
@@ -421,48 +479,11 @@ def inverse_iteration_smallest_device(
         L = np.linalg.cholesky(Gs + (eps * scale) * np.eye(m))
         return sla.solve_triangular(L.conj().T, np.eye(m), lower=False)
 
-    # The whole harmonic-Ritz round runs ON DEVICE as one jitted program
-    # (gram -> whitening chol -> projection -> harmonic pencil solve ->
-    # recombination): the m x m cholesky/eigh/triangular solves lower fine
-    # on the axon TPU for COMPLEX inputs (only complex contractions do not;
-    # the big contractions stay pair-form einsums). This cuts the ~6 small
-    # host round-trips per round that dominated deflation setup over the
-    # tunneled link (measured r4: ~0.3-0.5 s of latency each); the only
-    # per-round fetch is the stacked (theta, res) diagnostics pair.
-    from jax.scipy.linalg import solve_triangular as jsolve_tri
-
-    @jax.jit
-    def device_round(Vd: CP):
-        eyec = jnp.eye(m, dtype=cplx.complex_dtype(rdtype))
-        G = gram(Vd)
-        Gc = G.re + 1j * G.im
-        Gs = 0.5 * (Gc + Gc.conj().T)
-        scale = jnp.real(jnp.trace(Gs)) / m
-        L = jnp.linalg.cholesky(Gs + (eps * scale) * eyec)
-        T = jsolve_tri(L.conj().T, eyec, lower=False)
-        W, U, Ad, Bd = project(Vd, CP(jnp.real(T), jnp.imag(T)))
-        A = Ad.re + 1j * Ad.im
-        B = Bd.re + 1j * Bd.im
-        A = 0.5 * (A + A.conj().T)
-        B = 0.5 * (B + B.conj().T)
-        scb = jnp.real(jnp.trace(B)) / m
-        Lb = jnp.linalg.cholesky(B + (eps * scb) * eyec)
-        M = jsolve_tri(Lb, A, lower=True)
-        M = jsolve_tri(Lb, M.conj().T, lower=True).conj().T
-        M = 0.5 * (M + M.conj().T)
-        mu, Z = jnp.linalg.eigh(M)
-        Y = jsolve_tri(Lb.conj().T, Z, lower=False)
-        order = jnp.argsort(
-            jnp.where(jnp.abs(mu) > 0, 1.0 / jnp.abs(mu), jnp.inf)
-        )
-        Y = Y[:, order]
-        Vd2, _, theta, res = recombine(W, U, CP(jnp.real(Y), jnp.imag(Y)))
-        return Vd2, jnp.stack([theta, res])
-
+    device_round = _device_round_factory(matvec_pair)
     prev_theta = None
     for r in range(rounds):
         Vd = apply_inv_pair(Vd)                      # (m, n) batched solve
-        Vd, diag_d = device_round(Vd)
+        Vd, diag_d = device_round(Vd, ctx)
         diag = np.asarray(diag_d, dtype=np.float64)  # ONE fetch per round
         theta_full, res = diag[0], diag[1]
         theta_r = np.abs(theta_full)[:k]
@@ -484,7 +505,7 @@ def inverse_iteration_smallest_device(
     # are individually normalized but NOT mutually orthogonal -- a projector
     # built from them under-deflates (measured ||U^H U - I|| ~ 0.7 in f32).
     # Here Z is unitary, so X = Z^T W is orthonormal to working precision.
-    W, U, Ad, _ = project(Vd, _to_pair_rows(orth_T(Vd), rdtype))
+    W, U, Ad, _ = project(Vd, _to_pair_rows(orth_T(Vd), rdtype), ctx)
     M = cplx.to_complex(Ad)                          # U^H W = W^H Q W
     M = 0.5 * (M + M.conj().T)
     mu, Z = np.linalg.eigh(M)

@@ -149,8 +149,13 @@ def hutchinson_deflation(
     )
 
     rdtype = op.dtype
-    # jitted: Ritz residual checks apply this eagerly (see mg/setup.py)
-    mvQ = jax.jit(lambda v: gamma3_pair(op.matvec(v)))
+    # ctx-style matvec (ops/dirac.py gamma3_matvec_ctx): ONE stable callable
+    # keys the lru-cached eigensolver kernels, so repeated deflation calls
+    # in a process (MLMC fine-deflation + rough trace + Hutchinson) reuse
+    # the traced Ritz programs instead of re-tracing them, and the operator
+    # tensors ride as jit arguments (small executables, fast loads)
+    from deflatedmlmc_schwinger_tpu.ops.dirac import gamma3_matvec_ctx
+
     solve_tol = cfg.solver.effective_tol(
         cfg.defl_eigvs_tol_Hutch, cplx.complex_dtype(rdtype)
     )
@@ -178,9 +183,10 @@ def hutchinson_deflation(
     # device-resident: the (k, n) basis never leaves the device; only k x k
     # projections, eigenvalues, and the tr1 scalar cross the host link
     eig = inverse_iteration_smallest_device(
-        mvQ, apply_Qinv, op.n, k, rdtype=rdtype, seed=cfg.seed + seed_offset,
+        gamma3_matvec_ctx, apply_Qinv, op.n, k, rdtype=rdtype,
+        seed=cfg.seed + seed_offset,
         rounds=rounds, tol=cfg.defl_eigvs_tol_Hutch, buffer=m,
-        warm_filter_degree=int(cfg.defl_warm_filter_degree),
+        warm_filter_degree=int(cfg.defl_warm_filter_degree), ctx=op,
     )
     theta = eig.values                      # signed eigenvalues of Q (host)
     Vr = eig.vectors                        # device (k, n) rows

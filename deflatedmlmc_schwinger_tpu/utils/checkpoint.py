@@ -72,10 +72,12 @@ def save_hierarchy(hier: Hierarchy, path: str) -> None:
         meta.append(entry)
     arrays["coarsest_inv_re"], arrays["coarsest_inv_im"] = _cp_to_np(hier.coarsest_inv)
     extra = {"levels": meta}
-    if hier.poly_roots is not None:
-        extra["poly_roots"] = [
-            [[t.real, t.imag] for t in lev_roots] for lev_roots in hier.poly_roots
-        ]
+    for name in ("poly_roots", "poly_roots_extra"):
+        val = getattr(hier, name, None)
+        if val is not None:
+            extra[name] = [
+                [[t.real, t.imag] for t in lev_roots] for lev_roots in val
+            ]
     np.savez_compressed(path, __meta__=json.dumps(extra), **arrays)
 
 
@@ -84,12 +86,16 @@ def load_hierarchy(path: str, rdtype=jnp.float32) -> Hierarchy:
         extra = json.loads(str(z["__meta__"]))
         # pre-poly_roots checkpoints stored the level list directly
         meta = extra["levels"] if isinstance(extra, dict) else extra
-        poly_roots = None
-        if isinstance(extra, dict) and "poly_roots" in extra:
-            poly_roots = tuple(
-                tuple(complex(re, im) for re, im in lev_roots)
-                for lev_roots in extra["poly_roots"]
-            )
+        def _roots(name):
+            if isinstance(extra, dict) and name in extra:
+                return tuple(
+                    tuple(complex(re, im) for re, im in lev_roots)
+                    for lev_roots in extra[name]
+                )
+            return None
+
+        poly_roots = _roots("poly_roots")
+        poly_roots_extra = _roots("poly_roots_extra")
         levels = []
         for i, entry in enumerate(meta):
             if entry["kind"] == "stencil":
@@ -112,7 +118,7 @@ def load_hierarchy(path: str, rdtype=jnp.float32) -> Hierarchy:
             levels.append(MGLevel(op=op, P=P, perm_shift=entry["perm_shift"]))
         coarsest_inv = _np_to_cp(z["coarsest_inv_re"], z["coarsest_inv_im"], rdtype)
     return Hierarchy(levels=tuple(levels), coarsest_inv=coarsest_inv,
-                     poly_roots=poly_roots)
+                     poly_roots=poly_roots, poly_roots_extra=poly_roots_extra)
 
 
 @dataclasses.dataclass
