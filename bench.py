@@ -44,6 +44,20 @@ ORACLE = -8.748242701374695 + 50.215154098005584j
 HBM_PEAK_GBS = 810.0
 
 
+def _parity_artifact():
+    """The recorded 128^2 matched-seed parity artifact (docs/PARITY.md;
+    produced once by scratch/_r5_parity128.py -- a several-minute CPU run of
+    the actual reference, not re-run per bench)."""
+    import os
+
+    p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "docs", "PARITY_MATCHED.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
 def main() -> None:
     from deflatedmlmc_schwinger_tpu.utils import jaxcache
 
@@ -402,6 +416,7 @@ def main() -> None:
                     vcycle_level1_frac=round(lvl1_frac, 3),
                     vcycle_level2_plus_coarsest_frac=round(rest_frac, 3),
                     g202_wall_s=round(g202_wall, 1),
+                    matched_seed_parity=_parity_artifact(),
                 ),
             )
         )

@@ -138,8 +138,6 @@ def hutchinson_deflation(
     k = int(cfg.nr_deflat_vctrs)
     if k == 0:
         return Deflation(U=None, tr1=0.0 + 0.0j)
-    import jax
-
     from deflatedmlmc_schwinger_tpu.ops.dirac import (
         shift_rows_down_pair,
         shift_rows_up_pair,
