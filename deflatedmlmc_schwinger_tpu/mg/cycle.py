@@ -322,6 +322,29 @@ class MGSolver:
         self.num_iters = 0
         self.coarsest_lev_iters = [0] * hier.nr_levels
         self.total_solve_calls = 0
+        self._derived: list = []
+
+    def derived(self, cfg: Optional[SolverConfig]) -> "MGSolver":
+        """A solver over the SAME hierarchy with a different SolverConfig,
+        cached per config on this instance.
+
+        The fgmres jit key includes the (static) matvec/precond callables,
+        which live in this object's closure caches -- so a FRESH MGSolver
+        per setup phase retraces the whole program family and re-loads its
+        executables over the tunneled device link on every call (measured
+        r5: the per-call ``MGSolver(hier, cfg.defl_solver)`` inside
+        deflation setup cost G202 an extra ~15 s of re-loads even though
+        G102 had just run the identical programs in the same process).
+        Handing back the same cached instance makes every estimator in a
+        process share one set of loaded executables per config."""
+        if cfg is None or cfg == self.cfg:
+            return self
+        for c, s in self._derived:
+            if c == cfg:
+                return s
+        s = MGSolver(self.hier, cfg)
+        self._derived.append((cfg, s))
+        return s
 
     def _roots_for(self, level_index: int):
         if level_index not in self._poly_roots:

@@ -167,8 +167,10 @@ def hutchinson_deflation(
     if cfg.defl_solver is not None:
         # setup-specific solver profile (config.py defl_solver): deflation
         # solves are stall-cutoff-bound near-kernel systems whose cost
-        # scales with the per-iteration price, not the iteration count
-        basis_solver = MGSolver(solver.hier, cfg.defl_solver)
+        # scales with the per-iteration price, not the iteration count.
+        # derived() caches the instance so every deflation call in a
+        # process reuses ONE loaded executable family (mg/cycle.py).
+        basis_solver = solver.derived(cfg.defl_solver)
     if fine_solver is not None:
         nsh = fine_solver.mesh.shape[fine_solver.sample_axis]
         if k % nsh == 0:

@@ -576,7 +576,7 @@ def mlmc(
                 # stall-cutoff-bound systems)
                 corr_solver = solver
                 if cfg.defl_solver is not None and fine_solver is None:
-                    corr_solver = MGSolver(hier, cfg.defl_solver)
+                    corr_solver = solver.derived(cfg.defl_solver)
                 Z, stalled = solve_refined_host(
                     fine_solver or corr_solver, op, x1, cfg.function_tol,
                     int(cfg.defl_refine_steps), int(cfg.probe_batch),

@@ -297,3 +297,27 @@ def test_grouped_band_packing_exact(hier16, dense16):
     np.testing.assert_allclose(y_pk, y_un, atol=1e-12)
     C = unpacked.complex_matrix()
     np.testing.assert_allclose(y_pk, z @ C.T, atol=1e-11)
+
+
+def test_derived_solver_cached(hier16):
+    """derived() hands back ONE cached instance per SolverConfig: the fgmres
+    jit key includes the solver's (static) closure callables, so a fresh
+    MGSolver per setup phase would retrace and re-load the whole program
+    family on every deflation call (mg/cycle.py derived)."""
+    solver = MGSolver(hier16, SolverConfig(smoother="poly", smooth_iters=4))
+    shallow = SolverConfig(smoother="poly", smooth_iters=2)
+    d1 = solver.derived(shallow)
+    d2 = solver.derived(SolverConfig(smoother="poly", smooth_iters=2))
+    assert d1 is d2
+    assert d1 is not solver and d1.cfg == shallow
+    # same config as the parent -> the parent itself (no duplicate programs)
+    assert solver.derived(SolverConfig(smoother="poly", smooth_iters=4)) is solver
+    assert solver.derived(None) is solver
+    # the derived solver solves correctly over the same hierarchy
+    rng = np.random.default_rng(11)
+    n = hier16.levels[0].n
+    b = cplx.from_complex(
+        rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))
+    )
+    res = d1.solve(b, 1e-8)
+    assert float(np.max(np.asarray(res.resnorm / res.bnorm))) < 1e-8
