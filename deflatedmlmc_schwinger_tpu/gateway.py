@@ -87,6 +87,11 @@ def set_params(example_name: str) -> TraceConfig:
             # measured COUNTERPRODUCTIVE here: it hands the first inverse
             # round near-kernel-saturated right-hand sides (setup 42 s) and
             # worsens dev -- keep it off with an MG-driven iteration.
+            # (The 8.7 s is warm-process compute; a fresh process pays
+            # ~10-15 s more of one-time program loads/tracing in this
+            # phase, tunnel-dependent: bench r5 measured defl_setup
+            # 21-24 s cold-process, while repeated deflation calls in one
+            # process run at 6.5-9.4 s via mg/cycle.py MGSolver.derived.)
             defl_subspace_rounds=3,
             # defl_buffer=probe_batch makes every setup solve reuse the
             # sampling batch's XLA program -- zero extra executable loads on

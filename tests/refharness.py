@@ -254,36 +254,56 @@ def mlmc_probes(mg_solver, params, level: int, nprobes: int, seed: int):
     return es
 
 
-class DensePairP:
-    """Adapter exposing a reference CSR prolongator through our pair
-    P-interface (apply / apply_adjoint / to_dense) so the reference's OWN
-    hierarchy can be imported into our MGSolver for matched-seed parity.
+def _make_dense_pair_p():
+    """DensePairP: adapter exposing a reference CSR prolongator through our
+    pair P-interface (apply / apply_adjoint / to_dense) so the reference's
+    OWN hierarchy can be imported into our MGSolver for matched-seed parity.
     The reference aggregates scatter over the spin-major fine index, so its
     P is not block-diagonal under our contiguous-aggregate layout -- at
-    parity-test sizes a dense pair matmul is exact and fast."""
+    parity-test sizes a dense pair matmul is exact and fast.
 
-    def __init__(self, Pcsr, rdtype):
-        import jax.numpy as jnp
+    Declared as a flax struct dataclass (lazily, keeping refharness
+    importable without jax side effects at module load) because the
+    hierarchy rides MGSolver.solve's jitted program as the ``ctx`` ARGUMENT
+    (solvers/fgmres.py) -- every node in it must be a registered pytree."""
+    from flax import struct
 
-        from deflatedmlmc_schwinger_tpu.ops.cplx import CP
+    from deflatedmlmc_schwinger_tpu.ops import cplx
+    from deflatedmlmc_schwinger_tpu.ops.cplx import CP
 
-        M = np.asarray(Pcsr.todense())
-        self._dense = M
-        self.mat = CP(jnp.asarray(M.real.astype(np.dtype(rdtype))),
-                      jnp.asarray(M.imag.astype(np.dtype(rdtype))))
+    @struct.dataclass
+    class DensePairP:
+        mat: CP
 
-    def apply(self, y):           # P @ y for (..., n_c) pair rows
-        from deflatedmlmc_schwinger_tpu.ops import cplx
+        @classmethod
+        def from_csr(cls, Pcsr, rdtype):
+            import jax.numpy as jnp
 
-        return cplx.einsum2("fc,...c->...f", self.mat, y)
+            M = np.asarray(Pcsr.todense())
+            return cls(mat=CP(jnp.asarray(M.real.astype(np.dtype(rdtype))),
+                              jnp.asarray(M.imag.astype(np.dtype(rdtype)))))
 
-    def apply_adjoint(self, x):   # P^H @ x for (..., n_f) pair rows
-        from deflatedmlmc_schwinger_tpu.ops import cplx
+        def apply(self, y):           # P @ y for (..., n_c) pair rows
+            return cplx.einsum2("fc,...c->...f", self.mat, y)
 
-        return cplx.einsum2_conj_a("fc,...f->...c", self.mat, x)
+        def apply_adjoint(self, x):   # P^H @ x for (..., n_f) pair rows
+            return cplx.einsum2_conj_a("fc,...f->...c", self.mat, x)
 
-    def to_dense(self) -> np.ndarray:
-        return self._dense
+        def to_dense(self) -> np.ndarray:
+            return (np.asarray(self.mat.re, np.float64)
+                    + 1j * np.asarray(self.mat.im, np.float64))
+
+    return DensePairP
+
+
+_DensePairP = None
+
+
+def dense_pair_p(Pcsr, rdtype):
+    global _DensePairP
+    if _DensePairP is None:
+        _DensePairP = _make_dense_pair_p()
+    return _DensePairP.from_csr(Pcsr, rdtype)
 
 
 def import_hierarchy(mg_solver, pair_op0, rdtype):
@@ -313,7 +333,7 @@ def import_hierarchy(mg_solver, pair_op0, rdtype):
                 mat=CP(jnp.asarray(M.real.astype(np.dtype(rdtype))),
                        jnp.asarray(M.imag.astype(np.dtype(rdtype))))
             )
-        P = (DensePairP(mg_solver.ml.levels[i].P, rdtype)
+        P = (dense_pair_p(mg_solver.ml.levels[i].P, rdtype)
              if i < nl - 1 else None)
         levels.append(MGLevel(op=op_i, P=P, perm_shift=0))
     Cinv = np.asarray(mg_solver.coarsest_inv)
